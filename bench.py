@@ -1,0 +1,74 @@
+"""Headline benchmark: DeepFM CTR training throughput (examples/s/chip).
+
+Runs the jitted CTRTrainer-style train step on Criteo-shaped synthetic data
+(26 sparse x vocab 10k x dim 16, 13 dense, batch 4096) on whatever accelerator
+JAX provides (the driver runs this on one real TPU chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` compares against the reference torch-rechub DeepFM on CPU
+measured in this container (14380.7 examples/s, batch 4096 — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_EXAMPLES_PER_S = 14380.7  # torch-rechub DeepFM, torch CPU, this container
+
+B, N_SPARSE, N_DENSE, VOCAB, DIM = 4096, 26, 13, 10000, 16
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from torch_rechub_tpu.basic.features import DenseFeature, SparseFeature
+    from torch_rechub_tpu.models.ranking import DeepFM
+    from torch_rechub_tpu.trainers.ctr_trainer import CTRTrainer
+    from torch_rechub_tpu.utils.data import ArrayLoader
+
+    rng = np.random.default_rng(0)
+    x = {f"C{i}": rng.integers(0, VOCAB, B).astype(np.int32) for i in range(N_SPARSE)}
+    x.update({f"I{i}": rng.normal(size=B).astype(np.float32) for i in range(N_DENSE)})
+    y = rng.integers(0, 2, B).astype(np.float32)
+
+    sparse = tuple(SparseFeature(f"C{i}", vocab_size=VOCAB, embed_dim=DIM) for i in range(N_SPARSE))
+    dense = tuple(DenseFeature(f"I{i}") for i in range(N_DENSE))
+    model = DeepFM(deep_features=dense, fm_features=sparse, mlp_params={"dims": (256, 128), "dropout": 0.0, "activation": "relu"})
+
+    trainer = CTRTrainer(model, n_epoch=1, model_path="/tmp/bench_model")
+    loader = ArrayLoader(x, y, batch_size=B)
+    trainer._ensure_ready(loader)
+
+    xb = {k: jnp.asarray(v) for k, v in x.items()}
+    yb = jnp.asarray(y)
+    wb = jnp.ones(B, jnp.float32)
+    lr = jnp.asarray(1e-3, jnp.float32)
+    rng_key = jax.random.PRNGKey(0)
+
+    # warmup (compile)
+    for _ in range(3):
+        trainer.state, loss = trainer._train_step(trainer.state, xb, yb, wb, lr, rng_key)
+    jax.block_until_ready(loss)
+
+    n_steps = 50
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        trainer.state, loss = trainer._train_step(trainer.state, xb, yb, wb, lr, rng_key)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    examples_per_s = n_steps * B / dt
+    print(json.dumps({
+        "metric": "deepfm_criteo_train_examples_per_s_chip",
+        "value": round(examples_per_s, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(examples_per_s / REFERENCE_EXAMPLES_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""Shared trainer machinery: jitted train state, optimizer, checkpoints.
+
+The reference trainers are torch epoch loops around ``loss.backward()``
+(``torch_rechub/trainers/ctr_trainer.py:77-108``).  Here every trainer is a
+thin Python epoch loop around ONE jitted, donated train step:
+``value_and_grad(loss) -> optax update`` compiled once per (shape, model).
+The learning rate is passed into the step as a traced scalar, so per-epoch
+LR scheduling (reference StepLR) never triggers recompilation.
+
+SPMD: if a ``jax.sharding.Mesh`` is supplied, parameters are placed with the
+standard rules (tables row-sharded over ``model``, rest replicated) and every
+batch is sharded over ``data``; XLA inserts psums for the gradient reduction.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import flax
+import flax.serialization
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..parallel import mesh as mesh_lib
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(optimizer_params: Optional[Dict] = None):
+    """Torch-Adam-equivalent transform (L2-in-gradient weight decay).
+
+    Returns ``(tx, lr0)``; ``tx`` excludes the learning rate — the step does
+    ``p - lr * update`` with ``lr`` as a traced argument.
+    """
+    optimizer_params = dict(optimizer_params or {"lr": 1e-3, "weight_decay": 1e-5})
+    lr = float(optimizer_params.pop("lr", 1e-3))
+    wd = float(optimizer_params.pop("weight_decay", 0.0))
+    b1 = float(optimizer_params.pop("betas", (0.9, 0.999))[0]) if "betas" in optimizer_params else 0.9
+    parts = []
+    if wd > 0:
+        parts.append(optax.add_decayed_weights(wd))
+    parts.append(optax.scale_by_adam(b1=b1))
+    return optax.chain(*parts), lr
+
+
+def step_lr(lr0: float, epoch: int, scheduler_params: Optional[Dict]) -> float:
+    """StepLR schedule at epoch granularity (reference trainers step per epoch)."""
+    if not scheduler_params:
+        return lr0
+    step_size = int(scheduler_params.get("step_size", 1))
+    gamma = float(scheduler_params.get("gamma", 0.1))
+    return lr0 * gamma ** (epoch // step_size)
+
+
+def apply_updates(params, updates, lr):
+    return jax.tree_util.tree_map(lambda p, u: p - lr * u, params, updates)
+
+
+def save_checkpoint(path: str, variables: Dict, name: str = "model.msgpack") -> str:
+    os.makedirs(path or ".", exist_ok=True)
+    target = os.path.join(path or ".", name)
+    with open(target, "wb") as f:
+        f.write(flax.serialization.to_bytes(jax.device_get(variables)))
+    return target
+
+
+def load_checkpoint(path: str, template: Dict, name: str = "model.msgpack") -> Dict:
+    target = path if os.path.isfile(path) else os.path.join(path, name)
+    with open(target, "rb") as f:
+        return flax.serialization.from_bytes(template, f.read())
+
+
+class JaxTrainer:
+    """Common state for the concrete trainers (mesh, rngs, optimizer, ckpt)."""
+
+    def __init__(self, model, optimizer_params=None, scheduler_params=None, n_epoch=10, earlystop_patience=10, model_path="./", mesh=None, seed=0, loggers=None):
+        self.model = model
+        self.tx, self.lr0 = make_optimizer(optimizer_params)
+        self.scheduler_params = scheduler_params
+        self.n_epoch = n_epoch
+        self.earlystop_patience = earlystop_patience
+        self.model_path = model_path
+        self.mesh = mesh
+        self.seed = seed
+        self.loggers = loggers
+        self.state: Optional[TrainState] = None
+        self._rng = jax.random.PRNGKey(seed)
+
+    # -- state -------------------------------------------------------------
+    def init_state(self, x_sample) -> TrainState:
+        init_rng, self._rng = jax.random.split(self._rng)
+        x_dev = {k: jnp.asarray(v) for k, v in x_sample.items()}
+        variables = self.model.init({"params": init_rng, "dropout": init_rng, "routing": init_rng}, x_dev, training=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        if self.mesh is not None:
+            params = mesh_lib.shard_params(params, self.mesh)
+            batch_stats = jax.tree_util.tree_map(lambda x: jax.device_put(x, mesh_lib.replicated_sharding(self.mesh)), batch_stats)
+        opt_state = self.tx.init(params)
+        self.state = TrainState(params=params, batch_stats=batch_stats, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+        return self.state
+
+    def variables(self, state: Optional[TrainState] = None) -> Dict:
+        state = state or self.state
+        v = {"params": state.params}
+        if state.batch_stats:
+            v["batch_stats"] = state.batch_stats
+        return v
+
+    def place_batch(self, batch):
+        return mesh_lib.shard_batch(batch, self.mesh) if self.mesh is not None else batch
+
+    def epoch_lr(self, epoch: int) -> float:
+        return step_lr(self.lr0, epoch, self.scheduler_params)
+
+    def next_dropout_rng(self):
+        rng, self._rng = jax.random.split(self._rng)
+        return rng
+
+    # -- checkpoints --------------------------------------------------------
+    def save(self, name: str = "model.msgpack") -> str:
+        return save_checkpoint(self.model_path, self.variables(), name)
+
+    def load(self, name: str = "model.msgpack"):
+        restored = load_checkpoint(self.model_path, self.variables(), name)
+        self.state = self.state.replace(params=restored["params"], batch_stats=restored.get("batch_stats", self.state.batch_stats))
+        return self.state
+
+
+def to_numpy(x) -> np.ndarray:
+    return np.asarray(jax.device_get(x))

@@ -1,0 +1,157 @@
+"""CTRTrainer — single-task binary CTR training.
+
+API parity with ``torch_rechub/trainers/ctr_trainer.py:33-187`` (fit /
+evaluate / predict, early stopping on val AUC, StepLR-style per-epoch
+schedule, embedding/dense L1/L2 regularization, ``loss_mode=False`` for
+models that return ``(y_pred, aux_loss)``), re-designed around one jitted
+train step: the loss is BCE-with-logits (models emit logits; probabilities
+remain the user-facing output), regularization is a pure function of the
+param pytree, and the step is donated so parameter memory is reused in-place.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..basic.callback import EarlyStopper
+from ..basic.loss import RegularizationLoss, bce_with_logits
+from ..basic.metric import auc_score
+from ..basic.tracking import iter_loggers
+from ..utils.data import pad_batch
+from .base import JaxTrainer, TrainState, apply_updates, to_numpy
+
+
+class CTRTrainer(JaxTrainer):
+    """General single-task trainer.
+
+    Args:
+        model: a ranking model (dict input -> logits ``(B,)``).
+        optimizer_params: ``{"lr", "weight_decay"}`` (torch-Adam semantics).
+        scheduler_params: ``{"step_size", "gamma"}`` StepLR at epoch level.
+        n_epoch / earlystop_patience / model_path: as in the reference.
+        loss_mode: True -> ``model(x) = logits``; False -> ``(logits, aux_loss)``.
+        regularization_params: embedding/dense L1/L2 coefficients.
+        mesh: optional ``jax.sharding.Mesh`` for SPMD execution.
+    """
+
+    def __init__(self, model, optimizer_params=None, regularization_params=None, scheduler_params=None, n_epoch=10, earlystop_patience=10, loss_mode=True, model_path="./", model_logger=None, mesh=None, seed=0, batch_size_hint=None):
+        super().__init__(model, optimizer_params, scheduler_params, n_epoch, earlystop_patience, model_path, mesh, seed, model_logger)
+        self.loss_mode = loss_mode
+        self.reg_loss_fn = RegularizationLoss(**(regularization_params or {}))
+        self.early_stopper = EarlyStopper(patience=earlystop_patience)
+        self._train_step = None
+        self._predict_step = None
+
+    # -- jitted steps -------------------------------------------------------
+    def _build_steps(self):
+        model, loss_mode, reg = self.model, self.loss_mode, self.reg_loss_fn
+
+        def loss_fn(params, batch_stats, x, y, w, rng):
+            variables = {"params": params, "batch_stats": batch_stats}
+            out, mutated = model.apply(variables, x, training=True, rngs={"dropout": rng, "routing": rng}, mutable=["batch_stats"])
+            aux = 0.0
+            if not loss_mode:
+                out, aux = out
+            loss = bce_with_logits(out, y, w) + aux
+            if reg:
+                loss = loss + reg(params)
+            return loss, mutated.get("batch_stats", batch_stats)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, x, y, w, lr, rng):
+            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, state.batch_stats, x, y, w, rng)
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            params = apply_updates(state.params, updates, lr)
+            return TrainState(params=params, batch_stats=new_bs, opt_state=opt_state, step=state.step + 1), loss
+
+        @jax.jit
+        def predict_step(params, batch_stats, x):
+            out = model.apply({"params": params, "batch_stats": batch_stats}, x, training=False)
+            if not loss_mode:
+                out = out[0]
+            return jax.nn.sigmoid(out)
+
+        self._train_step, self._predict_step = train_step, predict_step
+
+    def _ensure_ready(self, loader):
+        if self.state is None:
+            x0, _ = loader.first_batch() if loader.y is not None else (loader.first_batch(), None)
+            self.init_state(x0)
+        if self._train_step is None:
+            self._build_steps()
+
+    # -- public API ---------------------------------------------------------
+    def train_one_epoch(self, data_loader, log_interval: int = 10, lr: Optional[float] = None) -> float:
+        self._ensure_ready(data_loader)
+        lr = self.lr0 if lr is None else lr
+        batch_size = data_loader.batch_size
+        losses = []
+        for i, (x, y) in enumerate(data_loader):
+            x, y, w = pad_batch(x, y, batch_size)
+            x = self.place_batch({k: jnp.asarray(v) for k, v in x.items()})
+            y = jnp.asarray(y, dtype=jnp.float32)
+            rng = self.next_dropout_rng()
+            self.state, loss = self._train_step(self.state, x, y, jnp.asarray(w), jnp.asarray(lr, jnp.float32), rng)
+            losses.append(loss)
+        if not losses:
+            return 0.0
+        return float(np.mean([to_numpy(l) for l in losses]))
+
+    def fit(self, train_dataloader, val_dataloader=None, log_interval: int = 10):
+        self._ensure_ready(train_dataloader)
+        for logger in iter_loggers(self.loggers):
+            logger.log_hyperparams({"n_epoch": self.n_epoch, "learning_rate": self.lr0, "loss_mode": self.loss_mode})
+        for epoch_i in range(self.n_epoch):
+            lr = self.epoch_lr(epoch_i)
+            t0 = time.perf_counter()
+            train_loss = self.train_one_epoch(train_dataloader, log_interval, lr=lr)
+            dt = time.perf_counter() - t0
+            print(f"epoch: {epoch_i} train loss: {train_loss:.5f} ({dt:.2f}s, lr={lr:g})")
+            for logger in iter_loggers(self.loggers):
+                logger.log_metrics({"train/loss": train_loss, "learning_rate": lr}, step=epoch_i)
+            if val_dataloader:
+                auc = self.evaluate(self.model, val_dataloader)
+                print(f"epoch: {epoch_i} validation auc: {auc:.5f}")
+                for logger in iter_loggers(self.loggers):
+                    logger.log_metrics({"val/auc": auc}, step=epoch_i)
+                # snapshot to host: the donated train step reuses device buffers
+                if self.early_stopper.stop_training(auc, jax.device_get(self.variables())):
+                    print(f"validation: best auc: {self.early_stopper.best_auc}")
+                    best = self.early_stopper.best_weights
+                    self.state = self.state.replace(params=best["params"], batch_stats=best.get("batch_stats", self.state.batch_stats))
+                    break
+        if val_dataloader and self.early_stopper.best_weights is not None:
+            best = self.early_stopper.best_weights
+            self.state = self.state.replace(params=best["params"], batch_stats=best.get("batch_stats", self.state.batch_stats))
+        self.save()
+        for logger in iter_loggers(self.loggers):
+            logger.finish()
+
+    def evaluate(self, model, data_loader) -> float:
+        """Validation AUC (exact, tie-aware)."""
+        targets, predicts = self.predict(model, data_loader, return_targets=True)
+        return auc_score(targets, predicts)
+
+    def predict(self, model, data_loader, return_targets: bool = False):
+        self._ensure_ready(data_loader)
+        batch_size = data_loader.batch_size
+        preds, targets = [], []
+        for batch in data_loader:
+            x, y = batch if isinstance(batch, tuple) else (batch, None)
+            n = len(next(iter(x.values())))
+            x, y, _ = pad_batch(x, y, batch_size)
+            x = self.place_batch({k: jnp.asarray(v) for k, v in x.items()})
+            p = to_numpy(self._predict_step(self.state.params, self.state.batch_stats, x)).reshape(-1)[:n]
+            preds.append(p)
+            if y is not None:
+                targets.append(np.asarray(y).reshape(-1)[:n])
+        preds = np.concatenate(preds) if preds else np.zeros(0)
+        if return_targets:
+            return np.concatenate(targets), preds
+        return preds

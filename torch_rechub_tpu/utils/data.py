@@ -1,0 +1,190 @@
+"""Data pipeline: dict-of-arrays datasets, loaders, splits, sequence utils.
+
+TPU-native re-design of ``torch_rechub/utils/data.py``: instead of torch
+``Dataset``/``DataLoader``, batches are plain ``dict[str, np.ndarray]``
+pytrees produced by :class:`ArrayLoader`.  Shapes are kept static for XLA —
+the trainers pad the final partial batch to ``batch_size`` and carry a weight
+vector, so every step hits the same compiled executable.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+
+def df_to_dict(df) -> Dict[str, np.ndarray]:
+    """Convert a DataFrame to ``{column: np.ndarray}`` (reference ``utils/data.py``)."""
+    return {col: df[col].to_numpy() for col in df.columns}
+
+
+def get_auto_embedding_dim(num_classes: int) -> int:
+    """``floor(6 * num_classes**0.25)`` (reference ``utils/data.py:86-101``)."""
+    return int(math.floor(6 * num_classes**0.25))
+
+
+def get_loss_func(task_type: str = "classification") -> str:
+    """Default loss name per task (reference ``utils/data.py:104-119``)."""
+    if task_type == "classification":
+        return "bce"
+    if task_type == "regression":
+        return "mse"
+    raise ValueError("task_type must be classification or regression")
+
+
+def get_metric_func(task_type: str = "classification") -> str:
+    if task_type == "classification":
+        return "auc"
+    if task_type == "regression":
+        return "mse"
+    raise ValueError("task_type must be classification or regression")
+
+
+class ArrayLoader:
+    """Minibatch iterator over a dict-of-arrays dataset.
+
+    Yields ``(x_batch, y_batch)`` (or just ``x_batch`` when no labels), with
+    per-epoch seeded shuffling.  The last batch may be partial; trainers pad
+    it to keep XLA shapes static.
+    """
+
+    def __init__(self, x: Dict[str, np.ndarray], y: Optional[np.ndarray] = None, batch_size: int = 256, shuffle: bool = False, seed: int = 0, drop_last: bool = False):
+        self.x = {k: np.asarray(v) for k, v in x.items()}
+        self.y = None if y is None else np.asarray(y)
+        lengths = {len(v) for v in self.x.values()}
+        if len(lengths) != 1:
+            raise ValueError(f"inconsistent feature lengths: {lengths}")
+        self.n = lengths.pop()
+        if self.y is not None and len(self.y) != self.n:
+            raise ValueError("labels length mismatch")
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        if self.drop_last:
+            return self.n // self.batch_size
+        return (self.n + self.batch_size - 1) // self.batch_size
+
+    @property
+    def dataset_size(self) -> int:
+        return self.n
+
+    def first_batch(self):
+        """A leading batch (no shuffle) — handy for model init / jit warmup."""
+        idx = np.arange(min(self.batch_size, self.n))
+        x = {k: v[idx] for k, v in self.x.items()}
+        return (x, self.y[idx]) if self.y is not None else x
+
+    def __iter__(self) -> Iterator:
+        order = np.arange(self.n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+            self._epoch += 1
+        for start in range(0, self.n, self.batch_size):
+            idx = order[start:start + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                return
+            x = {k: v[idx] for k, v in self.x.items()}
+            if self.y is not None:
+                yield x, self.y[idx]
+            else:
+                yield x
+
+
+def pad_batch(x: Dict[str, np.ndarray], y: Optional[np.ndarray], batch_size: int) -> Tuple[Dict[str, np.ndarray], Optional[np.ndarray], np.ndarray]:
+    """Pad a (possibly partial) batch to ``batch_size``; returns a 0/1 weight mask.
+
+    Padding repeats row 0 (valid ids, zero weight) so embedding lookups stay
+    in-vocab; metrics/losses must honour the returned weights.
+    """
+    n = len(next(iter(x.values())))
+    w = np.ones(batch_size, dtype=np.float32)
+    if n == batch_size:
+        return x, y, w
+    w[n:] = 0.0
+    pad = batch_size - n
+
+    def pad_arr(a):
+        return np.concatenate([a, np.repeat(a[:1], pad, axis=0)], axis=0)
+
+    x = {k: pad_arr(v) for k, v in x.items()}
+    if y is not None:
+        y = pad_arr(np.asarray(y))
+    return x, y, w
+
+
+class DataGenerator:
+    """Train/val/test split + loader factory (reference ``utils/data.py:61-83``)."""
+
+    def __init__(self, x: Dict[str, np.ndarray], y, seed: int = 42):
+        self.x = {k: np.asarray(v) for k, v in x.items()}
+        self.y = np.asarray(y)
+        lengths = {k: len(v) for k, v in self.x.items()}
+        if len(set(lengths.values()) | {len(self.y)}) != 1:
+            raise ValueError(f"inconsistent lengths: labels={len(self.y)}, features={lengths}")
+        self.length = len(self.y)
+        self.seed = seed
+
+    def generate_dataloader(self, x_val=None, y_val=None, x_test=None, y_test=None, split_ratio=None, batch_size: int = 16, num_workers: int = 0):
+        if split_ratio is not None:
+            train_length = int(self.length * split_ratio[0])
+            val_length = int(self.length * split_ratio[1])
+            test_length = self.length - train_length - val_length
+            print(f"the samples of train : val : test are  {train_length} : {val_length} : {test_length}")
+            rng = np.random.default_rng(self.seed)
+            order = rng.permutation(self.length)
+            tr, va, te = order[:train_length], order[train_length:train_length + val_length], order[train_length + val_length:]
+            take = lambda idx: ({k: v[idx] for k, v in self.x.items()}, self.y[idx])
+            (x_train, y_train), (x_val, y_val), (x_test, y_test) = take(tr), take(va), take(te)
+        else:
+            x_train, y_train = self.x, self.y
+        train_loader = ArrayLoader(x_train, y_train, batch_size=batch_size, shuffle=True, seed=self.seed)
+        val_loader = ArrayLoader(x_val, y_val, batch_size=batch_size) if x_val is not None else None
+        test_loader = ArrayLoader(x_test, y_test, batch_size=batch_size) if x_test is not None else None
+        return train_loader, val_loader, test_loader
+
+
+class MatchDataGenerator:
+    """Loaders for retrieval training (reference ``utils/data.py:41-58``):
+    train (x, y), test-user (x only), all-item (x only)."""
+
+    def __init__(self, x: Dict[str, np.ndarray], y=None):
+        self.x = {k: np.asarray(v) for k, v in x.items()}
+        self.y = None if y is None else np.asarray(y)
+
+    def generate_dataloader(self, x_test_user: Dict[str, np.ndarray], x_all_item: Dict[str, np.ndarray], batch_size: int = 16, num_workers: int = 0):
+        train_loader = ArrayLoader(self.x, self.y, batch_size=batch_size, shuffle=True)
+        test_loader = ArrayLoader(x_test_user, batch_size=batch_size)
+        item_loader = ArrayLoader(x_all_item, batch_size=batch_size)
+        return train_loader, test_loader, item_loader
+
+
+def pad_sequences(sequences, maxlen=None, dtype="int32", padding="post", truncating="pre", value=0):
+    """Keras-style pad/truncate to ``(n, maxlen)`` (reference ``utils/data.py:245-289``)."""
+    lengths = [len(s) for s in sequences]
+    if maxlen is None:
+        maxlen = max(lengths) if lengths else 0
+    out = np.full((len(sequences), maxlen), value, dtype=dtype)
+    for i, seq in enumerate(sequences):
+        seq = list(seq)
+        if not seq:
+            continue
+        if truncating == "pre":
+            trunc = seq[-maxlen:]
+        elif truncating == "post":
+            trunc = seq[:maxlen]
+        else:
+            raise ValueError(f"truncating must be pre/post, got {truncating!r}")
+        if padding == "post":
+            out[i, : len(trunc)] = trunc
+        elif padding == "pre":
+            out[i, -len(trunc):] = trunc
+        else:
+            raise ValueError(f"padding must be pre/post, got {padding!r}")
+    return out
