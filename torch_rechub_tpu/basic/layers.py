@@ -351,7 +351,8 @@ class CapsuleNetwork(nn.Module):
             weight = jnp.zeros((b, k, l), dtype=hat.dtype)
         else:
             if routing_rng is None:
-                routing_rng = self.make_rng("routing")
+                # deterministic fallback at inference (no rng stream supplied)
+                routing_rng = self.make_rng("routing") if self.has_rng("routing") else jax.random.PRNGKey(0)
             weight = jax.random.normal(routing_rng, (b, k, l), dtype=hat.dtype)
 
         attn_mask = jnp.broadcast_to(mask.reshape(b, 1, l), (b, k, l))

@@ -51,16 +51,23 @@ def softmax_cross_entropy(logits, targets, weight=None):
 def bpr_loss(pos_score, neg_score, weight=None):
     """Bayesian personalized ranking: ``-log sigmoid(pos - neg)``.
 
-    Reference semantics (``loss_func.py:95-107``): 1-D negatives are compared
-    element-wise, 2-D negatives broadcast against ``pos[:, None]``.
+    Reference semantics (``loss_func.py:95-107``) plus the sequence case:
+    equal-shape pos/neg (e.g. SASRec per-position logits) compare
+    element-wise; otherwise a 2-D ``neg`` broadcasts against ``pos[:, None]``.
+    ``weight`` is a per-sample (leading-axis) mask.
     """
-    pos_score = pos_score.reshape(-1)
-    if neg_score.ndim == 1:
+    if pos_score.shape == neg_score.shape:
         diff = pos_score - neg_score
+        if weight is not None and diff.ndim > 1:
+            weight = jnp.broadcast_to(weight.reshape(weight.shape[0], *([1] * (diff.ndim - 1))), diff.shape)
     else:
-        diff = pos_score[:, None] - neg_score
-        if weight is not None:
-            weight = jnp.broadcast_to(weight[:, None], diff.shape)
+        pos_score = pos_score.reshape(-1)
+        if neg_score.ndim == 1:
+            diff = pos_score - neg_score
+        else:
+            diff = pos_score[:, None] - neg_score
+            if weight is not None:
+                weight = jnp.broadcast_to(weight[:, None], diff.shape)
     return _weighted_mean(-jax.nn.log_sigmoid(diff), weight)
 
 

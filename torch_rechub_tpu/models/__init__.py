@@ -1,3 +1,3 @@
-from . import ranking
+from . import matching, multi_task, ranking
 
-__all__ = ["ranking"]
+__all__ = ["ranking", "matching", "multi_task"]

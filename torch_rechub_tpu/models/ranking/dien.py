@@ -21,52 +21,7 @@ import jax.numpy as jnp
 
 from ...basic.layers import MLP
 from ...ops.embedding import EmbeddingCollection, feature_mask
-
-
-class MaskedGRU(nn.Module):
-    """GRU over (B, L, D) whose hidden state freezes at padded steps.
-
-    Matches torch ``pack_padded_sequence`` semantics for post-padded input:
-    outputs at padded positions are zero, the final state is the last valid
-    step's state.
-    """
-
-    embed_dim: int
-
-    @nn.compact
-    def __call__(self, seq, mask):
-        d = self.embed_dim
-        in_d = seq.shape[-1]
-        # torch nn.GRU default init: U(-1/sqrt(hidden), 1/sqrt(hidden))
-        bound = 1.0 / (d**0.5)
-        uinit = nn.initializers.uniform(scale=2 * bound)
-
-        def p(name, shape):
-            return self.param(name, lambda k, s: uinit(k, s) - bound, shape)
-
-        w_i = p("w_i", (in_d, 3 * d))  # [r|z|n] input projections
-        w_h = p("w_h", (d, 3 * d))
-        b_i = p("b_i", (3 * d,))
-        b_h = p("b_h", (3 * d,))
-
-        h0 = jnp.zeros((seq.shape[0], d), seq.dtype)
-
-        def step(h, inputs):
-            x_t, m_t = inputs
-            gi = x_t @ w_i + b_i
-            gh = h @ w_h + b_h
-            ir, iz, inn = jnp.split(gi, 3, axis=-1)
-            hr, hz, hn = jnp.split(gh, 3, axis=-1)
-            r = jax.nn.sigmoid(ir + hr)
-            z = jax.nn.sigmoid(iz + hz)
-            n = jnp.tanh(inn + r * hn)
-            h_new = (1 - z) * n + z * h
-            h_next = jnp.where(m_t[:, None] > 0, h_new, h)
-            out_t = jnp.where(m_t[:, None] > 0, h_new, jnp.zeros_like(h_new))
-            return h_next, out_t
-
-        h_last, outs_t = jax.lax.scan(step, h0, (jnp.swapaxes(seq, 0, 1), jnp.swapaxes(mask, 0, 1)))
-        return jnp.swapaxes(outs_t, 0, 1), h_last
+from ...ops.rnn import GRULayer
 
 
 class AUGRU(nn.Module):
@@ -150,7 +105,7 @@ class DIEN(nn.Module):
         for i, fea in enumerate(history):
             seq = embed_history[:, i]
             mask = feature_mask(x, fea)  # (B, L) float
-            outs, _ = MaskedGRU(fea.embed_dim)(seq, mask)
+            outs, _ = GRULayer(fea.embed_dim)(seq, mask)
             aux_loss = aux_loss + _auxiliary_loss(outs, seq, embed_neg[:, i], mask)
             h = AUGRU(fea.embed_dim)(outs, embed_target[:, i], mask)
             evolved.append(h[:, None, :])

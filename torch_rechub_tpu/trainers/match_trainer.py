@@ -1,0 +1,203 @@
+"""MatchTrainer — two-tower retrieval training.
+
+API parity with ``torch_rechub/trainers/match_trainer.py:33-339``: three
+training modes (0 point-wise BCE, 1 pair-wise BPR, 2 list-wise CE), optional
+in-batch negative sampling (uniform or hard top-k), ``inference_embedding``
+for streaming tower embeddings from the best checkpoint, fit/evaluate/predict
+with early stopping.
+
+TPU design: one jitted donated train step per mode; the in-batch path
+computes the ``(B, B)`` score matrix, samples negatives with a vectorized
+random-top-k, and gathers logits entirely on device.  Matching models emit
+raw scores (no sigmoid); losses are computed from logits.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..basic.callback import EarlyStopper
+from ..basic.loss import RegularizationLoss, bce_with_logits, bpr_loss, softmax_cross_entropy
+from ..basic.metric import auc_score
+from ..basic.tracking import iter_loggers
+from ..utils.data import pad_batch
+from ..utils.match import gather_inbatch_logits, inbatch_negative_sampling
+from .base import JaxTrainer, TrainState, apply_updates, load_checkpoint, to_numpy
+
+
+class MatchTrainer(JaxTrainer):
+    """General matching/retrieval trainer (modes 0/1/2 + in-batch negatives)."""
+
+    def __init__(self, model, mode=0, in_batch_neg=False, in_batch_neg_ratio=None, hard_negative=False, sampler_seed=None, optimizer_params=None, regularization_params=None, scheduler_params=None, n_epoch=10, earlystop_patience=10, model_path="./", model_logger=None, mesh=None, seed=0):
+        super().__init__(model, optimizer_params, scheduler_params, n_epoch, earlystop_patience, model_path, mesh, seed, model_logger)
+        if mode not in (0, 1, 2):
+            raise ValueError(f"mode only contain value in [0, 1, 2], but got {mode}")
+        self.mode = mode
+        self.in_batch_neg = in_batch_neg
+        self.in_batch_neg_ratio = in_batch_neg_ratio
+        self.hard_negative = hard_negative
+        self.sampler_seed = sampler_seed if sampler_seed is not None else seed
+        self.reg_loss_fn = RegularizationLoss(**(regularization_params or {}))
+        self.early_stopper = EarlyStopper(patience=earlystop_patience)
+        self._train_step = None
+        self._predict_step = None
+        self._tower_steps = {}
+
+    # -- jitted steps -------------------------------------------------------
+    def _build_steps(self):
+        model, mode, reg = self.model, self.mode, self.reg_loss_fn
+        in_batch = self.in_batch_neg
+        neg_ratio, hard = self.in_batch_neg_ratio, self.hard_negative
+
+        def apply_model(params, batch_stats, x, rng, method=None, **kwargs):
+            variables = {"params": params, "batch_stats": batch_stats}
+            return model.apply(variables, x, training=True, rngs={"dropout": rng, "routing": rng}, mutable=["batch_stats"], method=method, **kwargs)
+
+        def loss_fn(params, batch_stats, x, y, w, rng, sample_rng):
+            if in_batch:
+                (user_emb, item_emb), mutated = apply_model(params, batch_stats, x, rng, method="towers")
+                user_emb = user_emb.reshape(user_emb.shape[0], -1) if user_emb.ndim == 3 and user_emb.shape[1] == 1 else user_emb
+                item_emb = item_emb.reshape(item_emb.shape[0], -1) if item_emb.ndim == 3 and item_emb.shape[1] == 1 else item_emb
+                scores = user_emb @ item_emb.T  # (B, B)
+                neg_idx = inbatch_negative_sampling(scores, neg_ratio=neg_ratio, hard_negative=hard, rng=sample_rng)
+                logits = gather_inbatch_logits(scores, neg_idx)
+                if mode == 1:
+                    loss = bpr_loss(logits[:, 0], logits[:, 1:], weight=w)
+                else:
+                    loss = softmax_cross_entropy(logits, jnp.zeros(logits.shape[0], jnp.int32), weight=w)
+            elif mode == 1:
+                (pos_score, neg_score), mutated = apply_model(params, batch_stats, x, rng)
+                loss = bpr_loss(pos_score, neg_score, weight=w)
+            elif mode == 2:
+                scores, mutated = apply_model(params, batch_stats, x, rng)
+                loss = softmax_cross_entropy(scores, y.astype(jnp.int32), weight=w)
+            else:
+                y_pred, mutated = apply_model(params, batch_stats, x, rng)
+                loss = bce_with_logits(y_pred, y.astype(jnp.float32), weight=w)
+            if reg:
+                loss = loss + reg(params)
+            return loss, mutated.get("batch_stats", batch_stats)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, x, y, w, lr, rng, sample_rng):
+            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, state.batch_stats, x, y, w, rng, sample_rng)
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            params = apply_updates(state.params, updates, lr)
+            return TrainState(params=params, batch_stats=new_bs, opt_state=opt_state, step=state.step + 1), loss
+
+        @jax.jit
+        def predict_step(params, batch_stats, x):
+            return model.apply({"params": params, "batch_stats": batch_stats}, x, training=False)
+
+        self._train_step, self._predict_step = train_step, predict_step
+
+        for tower in ("user", "item"):
+
+            @partial(jax.jit, static_argnames=())
+            def tower_step(params, batch_stats, x, _tower=tower):
+                return model.apply({"params": params, "batch_stats": batch_stats}, x, training=False, mode=_tower)
+
+            self._tower_steps[tower] = tower_step
+
+    def _ensure_ready(self, loader):
+        if self.state is None:
+            batch = loader.first_batch()
+            x0 = batch[0] if isinstance(batch, tuple) else batch
+            self.init_state(x0)
+        if self._train_step is None:
+            self._build_steps()
+
+    # -- public API ---------------------------------------------------------
+    def train_one_epoch(self, data_loader, log_interval: int = 10, lr: Optional[float] = None) -> float:
+        self._ensure_ready(data_loader)
+        lr = self.lr0 if lr is None else lr
+        batch_size = data_loader.batch_size
+        losses = []
+        sampler_key = jax.random.PRNGKey(self.sampler_seed)
+        for i, (x, y) in enumerate(data_loader):
+            x, y, w = pad_batch(x, y, batch_size)
+            x = self.place_batch({k: jnp.asarray(v) for k, v in x.items()})
+            y = jnp.asarray(y)
+            rng = self.next_dropout_rng()
+            sample_rng = jax.random.fold_in(sampler_key, int(self.state.step))
+            self.state, loss = self._train_step(self.state, x, y, jnp.asarray(w), jnp.asarray(lr, jnp.float32), rng, sample_rng)
+            losses.append(loss)
+        return float(np.mean([to_numpy(l) for l in losses])) if losses else 0.0
+
+    def fit(self, train_dataloader, val_dataloader=None, log_interval: int = 10):
+        self._ensure_ready(train_dataloader)
+        for logger in iter_loggers(self.loggers):
+            logger.log_hyperparams({"n_epoch": self.n_epoch, "learning_rate": self.lr0, "loss_mode": self.mode})
+        for epoch_i in range(self.n_epoch):
+            lr = self.epoch_lr(epoch_i)
+            t0 = time.perf_counter()
+            train_loss = self.train_one_epoch(train_dataloader, log_interval, lr=lr)
+            print(f"epoch: {epoch_i} train loss: {train_loss:.5f} ({time.perf_counter()-t0:.2f}s)")
+            for logger in iter_loggers(self.loggers):
+                logger.log_metrics({"train/loss": train_loss, "learning_rate": lr}, step=epoch_i)
+            if val_dataloader:
+                auc = self.evaluate(self.model, val_dataloader)
+                print(f"epoch: {epoch_i} validation auc: {auc:.5f}")
+                for logger in iter_loggers(self.loggers):
+                    logger.log_metrics({"val/auc": auc}, step=epoch_i)
+                if self.early_stopper.stop_training(auc, jax.device_get(self.variables())):
+                    print(f"validation: best auc: {self.early_stopper.best_auc}")
+                    best = self.early_stopper.best_weights
+                    self.state = self.state.replace(params=best["params"], batch_stats=best.get("batch_stats", self.state.batch_stats))
+                    break
+        if val_dataloader and self.early_stopper.best_weights is not None:
+            best = self.early_stopper.best_weights
+            self.state = self.state.replace(params=best["params"], batch_stats=best.get("batch_stats", self.state.batch_stats))
+        self.save()
+        for logger in iter_loggers(self.loggers):
+            logger.finish()
+
+    def evaluate(self, model, data_loader) -> float:
+        targets, predicts = [], []
+        self._ensure_ready(data_loader)
+        batch_size = data_loader.batch_size
+        for x, y in data_loader:
+            n = len(next(iter(x.values())))
+            x, y, _ = pad_batch(x, y, batch_size)
+            x = self.place_batch({k: jnp.asarray(v) for k, v in x.items()})
+            pred = to_numpy(self._predict_step(self.state.params, self.state.batch_stats, x)).reshape(-1)[:n]
+            predicts.append(pred)
+            targets.append(np.asarray(y).reshape(-1)[:n])
+        return auc_score(np.concatenate(targets), np.concatenate(predicts))
+
+    def predict(self, model, data_loader):
+        self._ensure_ready(data_loader)
+        batch_size = data_loader.batch_size
+        out = []
+        for batch in data_loader:
+            x = batch[0] if isinstance(batch, tuple) else batch
+            n = len(next(iter(x.values())))
+            x, _, _ = pad_batch(x, None, batch_size)
+            x = self.place_batch({k: jnp.asarray(v) for k, v in x.items()})
+            out.append(to_numpy(self._predict_step(self.state.params, self.state.batch_stats, x))[:n])
+        return np.concatenate(out)
+
+    def inference_embedding(self, model, mode, data_loader, model_path):
+        """Stream tower embeddings from the best checkpoint (reference ``:250-264``)."""
+        assert mode in ("user", "item"), f"Invalid mode={mode}."
+        self._ensure_ready(data_loader)
+        if model_path and os.path.exists(os.path.join(model_path, "model.msgpack")):
+            restored = load_checkpoint(model_path, self.variables())
+            self.state = self.state.replace(params=restored["params"], batch_stats=restored.get("batch_stats", self.state.batch_stats))
+        step = self._tower_steps[mode]
+        batch_size = data_loader.batch_size
+        out = []
+        for batch in data_loader:
+            x = batch[0] if isinstance(batch, tuple) else batch
+            n = len(next(iter(x.values())))
+            x, _, _ = pad_batch(x, None, batch_size)
+            x = self.place_batch({k: jnp.asarray(v) for k, v in x.items()})
+            out.append(to_numpy(step(self.state.params, self.state.batch_stats, x))[:n])
+        return np.concatenate(out)
