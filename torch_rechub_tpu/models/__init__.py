@@ -1,3 +1,3 @@
-from . import matching, multi_task, ranking
+from . import generative, matching, multi_task, ranking
 
-__all__ = ["ranking", "matching", "multi_task"]
+__all__ = ["ranking", "matching", "multi_task", "generative"]

@@ -93,6 +93,7 @@ class JaxTrainer:
         self.seed = seed
         self.loggers = loggers
         self.state: Optional[TrainState] = None
+        self.const_vars: Dict = {}
         self._rng = jax.random.PRNGKey(seed)
 
     # -- state -------------------------------------------------------------
@@ -102,6 +103,7 @@ class JaxTrainer:
         variables = self.model.init({"params": init_rng, "dropout": init_rng, "routing": init_rng}, x_dev, training=False)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
+        self.const_vars = {k: v for k, v in variables.items() if k not in ("params", "batch_stats")}
         if self.mesh is not None:
             params = mesh_lib.shard_params(params, self.mesh)
             batch_stats = jax.tree_util.tree_map(lambda x: jax.device_put(x, mesh_lib.replicated_sharding(self.mesh)), batch_stats)
@@ -114,6 +116,7 @@ class JaxTrainer:
         v = {"params": state.params}
         if state.batch_stats:
             v["batch_stats"] = state.batch_stats
+        v.update(getattr(self, "const_vars", {}))
         return v
 
     def place_batch(self, batch):

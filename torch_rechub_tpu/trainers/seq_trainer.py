@@ -1,0 +1,163 @@
+"""SeqTrainer — autoregressive sequence-model training (HSTU / HLLM).
+
+API parity with ``torch_rechub/trainers/seq_trainer.py``: batches are
+``(seq_tokens, seq_positions, seq_time_diffs, targets)``; full-sequence
+next-token CE with shifted labels ``concat(seq[1:], target)``, PAD positions
+masked on the *current* token and the PAD logit clamped to -1e9; loss =
+cross-entropy or temperature NCE; ``evaluate`` returns (avg loss, top-1 hit
+on the held-out target).  One jitted, donated train step.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..basic.callback import EarlyStopper
+from ..basic.tracking import iter_loggers
+from .base import JaxTrainer, TrainState, apply_updates, to_numpy
+
+
+def next_token_loss(logits, seq_tokens, targets, temperature: float = 1.0, ignore_index: int = 0):
+    """Shifted next-token CE (reference ``seq_trainer.py:169-187`` semantics)."""
+    next_tokens = jnp.concatenate([seq_tokens[:, 1:], targets[:, None]], axis=1)
+    next_tokens = jnp.where(seq_tokens == 0, 0, next_tokens)
+    logits = logits.at[..., 0].set(-1e9)
+    log_probs = jax.nn.log_softmax(logits / temperature, axis=-1)
+    nll = -jnp.take_along_axis(log_probs, next_tokens[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    mask = (next_tokens != ignore_index).astype(nll.dtype)
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+class SeqTrainer(JaxTrainer):
+    def __init__(self, model, optimizer_params=None, scheduler_params=None, n_epoch=10, earlystop_patience=10, model_path="./", loss_type="cross_entropy", loss_params=None, model_logger=None, mesh=None, seed=0):
+        super().__init__(model, optimizer_params, scheduler_params, n_epoch, earlystop_patience, model_path, mesh, seed, model_logger)
+        self.loss_type = loss_type
+        if loss_type == "nce":
+            self.loss_params = loss_params or {"temperature": 0.1, "ignore_index": 0}
+        else:
+            self.loss_params = loss_params or {"ignore_index": 0}
+        self.early_stopper = EarlyStopper(patience=earlystop_patience)
+        self._train_step = None
+        self._eval_step = None
+
+    def _build_steps(self):
+        model = self.model
+        temperature = float(self.loss_params.get("temperature", 1.0)) if self.loss_type == "nce" else 1.0
+        ignore_index = int(self.loss_params.get("ignore_index", 0))
+
+        consts = self.const_vars
+
+        def loss_fn(params, batch_stats, seq_tokens, time_diffs, targets, rng):
+            variables = {"params": params, "batch_stats": batch_stats, **consts}
+            logits, mutated = model.apply(variables, seq_tokens, time_diffs, training=True, rngs={"dropout": rng}, mutable=["batch_stats"])
+            loss = next_token_loss(logits, seq_tokens, targets, temperature, ignore_index)
+            return loss, mutated.get("batch_stats", batch_stats)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, seq_tokens, time_diffs, targets, lr, rng):
+            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, state.batch_stats, seq_tokens, time_diffs, targets, rng)
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            params = apply_updates(state.params, updates, lr)
+            return TrainState(params=params, batch_stats=new_bs, opt_state=opt_state, step=state.step + 1), loss
+
+        @jax.jit
+        def eval_step(params, batch_stats, seq_tokens, time_diffs, targets):
+            logits = model.apply({"params": params, "batch_stats": batch_stats, **consts}, seq_tokens, time_diffs, training=False)
+            loss = next_token_loss(logits, seq_tokens, targets, temperature, ignore_index)
+            last = logits[:, -1, :].at[:, 0].set(-1e9)
+            preds = jnp.argmax(last, axis=-1)
+            return loss, preds
+
+        self._train_step, self._eval_step = train_step, eval_step
+
+    def init_state_from_batch(self, batch):
+        seq_tokens, _pos, time_diffs, _targets = batch
+        init_rng, self._rng = jax.random.split(self._rng)
+        variables = self.model.init({"params": init_rng, "dropout": init_rng}, jnp.asarray(seq_tokens), jnp.asarray(time_diffs), training=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        self.const_vars = {k: v for k, v in variables.items() if k not in ("params", "batch_stats")}
+        opt_state = self.tx.init(params)
+        from .base import TrainState as TS
+
+        self.state = TS(params=params, batch_stats=batch_stats, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+        return self.state
+
+    def _ensure_ready(self, loader):
+        if self.state is None:
+            self.init_state_from_batch(next(iter(loader)))
+        if self._train_step is None:
+            self._build_steps()
+
+    def train_one_epoch(self, data_loader, log_interval: int = 10, lr: Optional[float] = None) -> float:
+        self._ensure_ready(data_loader)
+        lr = self.lr0 if lr is None else lr
+        losses = []
+        for seq_tokens, _pos, time_diffs, targets in data_loader:
+            rng = self.next_dropout_rng()
+            self.state, loss = self._train_step(
+                self.state,
+                jnp.asarray(np.asarray(seq_tokens)),
+                jnp.asarray(np.asarray(time_diffs)),
+                jnp.asarray(np.asarray(targets)).reshape(-1),
+                jnp.asarray(lr, jnp.float32),
+                rng,
+            )
+            losses.append(loss)
+        return float(np.mean([to_numpy(l) for l in losses])) if losses else 0.0
+
+    def fit(self, train_dataloader, val_dataloader=None):
+        self._ensure_ready(train_dataloader)
+        for logger in iter_loggers(self.loggers):
+            logger.log_hyperparams({"n_epoch": self.n_epoch, "learning_rate": self.lr0, "loss_type": self.loss_type})
+        for epoch_i in range(self.n_epoch):
+            lr = self.epoch_lr(epoch_i)
+            t0 = time.perf_counter()
+            train_loss = self.train_one_epoch(train_dataloader, lr=lr)
+            print(f"epoch: {epoch_i} train loss: {train_loss:.5f} ({time.perf_counter()-t0:.2f}s)")
+            for logger in iter_loggers(self.loggers):
+                logger.log_metrics({"train/loss": train_loss, "learning_rate": lr}, step=epoch_i)
+            if val_dataloader is not None:
+                val_loss, accuracy = self.evaluate(val_dataloader)
+                print(f"epoch: {epoch_i} val loss: {val_loss:.5f} top1 acc: {accuracy:.5f}")
+                for logger in iter_loggers(self.loggers):
+                    logger.log_metrics({"val/loss": val_loss, "val/top1_acc": accuracy}, step=epoch_i)
+                if self.early_stopper.stop_training(accuracy, jax.device_get(self.variables())):
+                    print(f"validation: best top1 acc: {self.early_stopper.best_auc}")
+                    best = self.early_stopper.best_weights
+                    self.state = self.state.replace(params=best["params"], batch_stats=best.get("batch_stats", self.state.batch_stats))
+                    break
+        if val_dataloader is not None and self.early_stopper.best_weights is not None:
+            best = self.early_stopper.best_weights
+            self.state = self.state.replace(params=best["params"], batch_stats=best.get("batch_stats", self.state.batch_stats))
+        self.save()
+        for logger in iter_loggers(self.loggers):
+            logger.finish()
+
+    def evaluate(self, data_loader):
+        self._ensure_ready(data_loader)
+        total_loss, total_correct, total = 0.0, 0, 0
+        n_batches = 0
+        for seq_tokens, _pos, time_diffs, targets in data_loader:
+            targets = np.asarray(targets).reshape(-1)
+            loss, preds = self._eval_step(self.state.params, self.state.batch_stats, jnp.asarray(np.asarray(seq_tokens)), jnp.asarray(np.asarray(time_diffs)), jnp.asarray(targets))
+            total_loss += float(to_numpy(loss))
+            total_correct += int(np.sum(to_numpy(preds) == targets))
+            total += len(targets)
+            n_batches += 1
+        return total_loss / max(n_batches, 1), total_correct / max(total, 1)
+
+    def predict_logits(self, data_loader):
+        """Stream last-position logits for ranking-style evaluation."""
+        self._ensure_ready(data_loader)
+        out = []
+        for seq_tokens, _pos, time_diffs, targets in data_loader:
+            logits = self.model.apply(self.variables(), jnp.asarray(np.asarray(seq_tokens)), jnp.asarray(np.asarray(time_diffs)), training=False)
+            out.append(to_numpy(logits[:, -1, :]))
+        return np.concatenate(out)

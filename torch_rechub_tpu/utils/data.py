@@ -188,3 +188,127 @@ def pad_sequences(sequences, maxlen=None, dtype="int32", padding="post", truncat
         else:
             raise ValueError(f"padding must be pre/post, got {padding!r}")
     return out
+
+
+class SeqLoader:
+    """Minibatch iterator over (seq_tokens, seq_positions, seq_time_diffs, target) tuples.
+
+    numpy counterpart of the reference ``SeqDataset`` + DataLoader
+    (``utils/data.py:396-455``); yields 4-tuples in that order.
+    """
+
+    def __init__(self, seq_tokens, seq_positions, targets, seq_time_diffs, batch_size=32, shuffle=False, seed=0):
+        self.seq_tokens = np.asarray(seq_tokens)
+        self.seq_positions = np.asarray(seq_positions)
+        self.targets = np.asarray(targets).reshape(-1)
+        self.seq_time_diffs = np.asarray(seq_time_diffs)
+        n = len(self.targets)
+        assert len(self.seq_tokens) == n and len(self.seq_positions) == n and len(self.seq_time_diffs) == n
+        self.n = n
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self._epoch = 0
+
+    def __len__(self):
+        return (self.n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        order = np.arange(self.n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+            self._epoch += 1
+        for start in range(0, self.n, self.batch_size):
+            idx = order[start:start + self.batch_size]
+            yield (self.seq_tokens[idx], self.seq_positions[idx], self.seq_time_diffs[idx], self.targets[idx])
+
+
+class SequenceDataGenerator:
+    """Loader factory for HSTU-style sequence data (reference ``utils/data.py:457-540``)."""
+
+    def __init__(self, seq_tokens, seq_positions, targets, seq_time_diffs, seed: int = 42):
+        self.seq_tokens = np.asarray(seq_tokens)
+        self.seq_positions = np.asarray(seq_positions)
+        self.targets = np.asarray(targets).reshape(-1)
+        self.seq_time_diffs = np.asarray(seq_time_diffs)
+        self.seed = seed
+
+    def generate_dataloader(self, batch_size=32, num_workers=0, split_ratio=None, shuffle=True):
+        if split_ratio is None:
+            return (SeqLoader(self.seq_tokens, self.seq_positions, self.targets, self.seq_time_diffs, batch_size=batch_size, shuffle=shuffle, seed=self.seed),)
+        assert abs(sum(split_ratio) - 1.0) < 1e-6, "split_ratio must sum to 1.0"
+        n = len(self.targets)
+        rng = np.random.default_rng(self.seed)
+        order = rng.permutation(n)
+        n_train = int(n * split_ratio[0])
+        n_val = int(n * split_ratio[1])
+        parts = (order[:n_train], order[n_train:n_train + n_val], order[n_train + n_val:])
+        loaders = []
+        for i, idx in enumerate(parts):
+            loaders.append(SeqLoader(self.seq_tokens[idx], self.seq_positions[idx], self.targets[idx], self.seq_time_diffs[idx], batch_size=batch_size, shuffle=(i == 0), seed=self.seed))
+        return tuple(loaders)
+
+
+def neg_sample(click_hist, item_size):
+    """Rejection-sample one negative item id in [1, item_size] not in history."""
+    import random as _random
+
+    neg = _random.randint(1, item_size)
+    while neg in click_hist:
+        neg = _random.randint(1, item_size)
+    return neg
+
+
+def generate_seq_feature(data, user_col, item_col, time_col, item_attribute_cols=None, min_item=0, shuffle=True, max_len=50):
+    """Sliding-window sequence samples with 1:1 negatives for ranking.
+
+    Reference semantics (``utils/data.py:122-216``): LabelEncode every column
+    shifting ids by +1 (0 = PAD), per-user chronological sliding window with
+    zero-post-padded histories, paired pos/neg rows, last interaction -> test,
+    second-last -> val.  Returns (train, val, test) DataFrames with columns
+    ``[label, target_item_id, <user_col>, hist_item_id, (hist_<attr>,
+    target_<attr>)...]``.
+    """
+    import random as _random
+
+    import pandas as pd
+
+    item_attribute_cols = item_attribute_cols or []
+    data = data.copy()
+    for feat in data:
+        uniques = {v: i + 1 for i, v in enumerate(sorted(pd.unique(data[feat])))}
+        data[feat] = data[feat].map(uniques)
+    data = data.astype("int32")
+
+    n_items = data[item_col].max()
+    item2attr = {}
+    for col in item_attribute_cols:
+        item2attr[col] = data[[item_col, col]].set_index(item_col)[col].to_dict()
+
+    train_data, val_data, test_data = [], [], []
+    data = data.sort_values(time_col)
+    for uid, hist in data.groupby(user_col):
+        pos_list = hist[item_col].tolist()
+        if len(pos_list) < min_item:
+            continue
+        neg_list = [neg_sample(pos_list, n_items) for _ in pos_list]
+        for i in range(1, min(len(pos_list), max_len)):
+            hist_item = pos_list[:i] + [0] * (max_len - i)
+            pos_seq = [1, pos_list[i], uid, hist_item]
+            neg_seq = [0, neg_list[i], uid, hist_item]
+            for attr_col in item_attribute_cols:
+                hist_attr = hist[attr_col].tolist()[:i] + [0] * (max_len - i)
+                pos_seq += [hist_attr, item2attr[attr_col][pos_list[i]]]
+                neg_seq += [hist_attr, item2attr[attr_col][neg_list[i]]]
+            bucket = test_data if i == len(pos_list) - 1 else val_data if i == len(pos_list) - 2 else train_data
+            bucket.append(pos_seq)
+            bucket.append(neg_seq)
+
+    col_name = ["label", "target_item_id", user_col, "hist_item_id"]
+    for attr_col in item_attribute_cols:
+        col_name += ["hist_" + attr_col, "target_" + attr_col]
+    if shuffle:
+        for bucket in (train_data, val_data, test_data):
+            _random.shuffle(bucket)
+    return (pd.DataFrame(train_data, columns=col_name), pd.DataFrame(val_data, columns=col_name), pd.DataFrame(test_data, columns=col_name))
