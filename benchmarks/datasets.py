@@ -1,0 +1,150 @@
+"""Benchmark dataset bundles.
+
+Parity with reference ``benchmarks/datasets.py:18-263`` — bundles for
+criteo-shaped ranking, ml-1m-shaped matching and census-shaped multitask data.
+The reference commits small CSV samples in-tree; here the samples are
+deterministic synthetic generators with the same shapes/column conventions
+(documented: these baselines are pipeline sentinels, not quality claims).
+Real datasets can be dropped into ``benchmarks/data/<name>/`` as CSVs with
+the same columns and are picked up automatically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from torch_rechub_tpu.basic.features import DenseFeature, SequenceFeature, SparseFeature
+
+DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+
+
+@dataclasses.dataclass
+class RankingDatasetBundle:
+    features: Tuple
+    x_train: Dict
+    y_train: np.ndarray
+    x_test: Dict
+    y_test: np.ndarray
+
+
+@dataclasses.dataclass
+class MatchingDatasetBundle:
+    user_features: Tuple
+    item_features: Tuple
+    neg_item_feature: Tuple
+    x_train: Dict
+    y_train: np.ndarray
+    x_test_user: Dict
+    x_all_item: Dict
+    test_user: Dict
+
+
+@dataclasses.dataclass
+class MultiTaskDatasetBundle:
+    features: Tuple
+    task_types: Tuple[str, ...]
+    x_train: Dict
+    y_train: np.ndarray
+    x_test: Dict
+    y_test: np.ndarray
+
+
+def build_criteo_ranking_dataset(seed: int = 2022, n: int = 2000, embed_dim: int = 16):
+    """Criteo-shaped: 26 sparse (C1..C26) + 13 dense (I1..I13), binary label."""
+    csv = os.path.join(DATA_DIR, "criteo", "criteo_sample.csv")
+    rng = np.random.default_rng(seed)
+    if os.path.exists(csv):
+        import pandas as pd
+
+        df = pd.read_csv(csv)
+        sparse_cols = [c for c in df.columns if c.startswith("C")]
+        dense_cols = [c for c in df.columns if c.startswith("I")]
+        for c in sparse_cols:
+            df[c] = df[c].astype("category").cat.codes + 1
+        for c in dense_cols:
+            df[c] = np.log1p(df[c].fillna(0).clip(lower=0))
+        y = df["label"].to_numpy(np.float32)
+        x = {c: df[c].to_numpy(np.int32) for c in sparse_cols}
+        x.update({c: df[c].to_numpy(np.float32) for c in dense_cols})
+        vocab = {c: int(df[c].max()) + 1 for c in sparse_cols}
+    else:
+        sparse_cols = [f"C{i}" for i in range(1, 27)]
+        dense_cols = [f"I{i}" for i in range(1, 14)]
+        vocab = {c: 100 for c in sparse_cols}
+        x = {c: rng.integers(0, 100, n).astype(np.int32) for c in sparse_cols}
+        x.update({c: rng.normal(size=n).astype(np.float32) for c in dense_cols})
+        logit = (x["C1"] % 2) * 1.0 + x["I1"] * 0.5 - 0.5
+        y = (rng.random(n) < 1 / (1 + np.exp(-logit))).astype(np.float32)
+    features = tuple(SparseFeature(c, vocab_size=vocab[c], embed_dim=embed_dim) for c in sparse_cols) + tuple(DenseFeature(c) for c in dense_cols)
+    split = int(len(y) * 0.8)
+    x_train = {k: v[:split] for k, v in x.items()}
+    x_test = {k: v[split:] for k, v in x.items()}
+    return RankingDatasetBundle(features, x_train, y[:split], x_test, y[split:])
+
+
+def build_ml1m_matching_dataset(seed: int = 2022, n_users: int = 200, n_items: int = 300, n_inter: int = 4000, embed_dim: int = 16, seq_max_len: int = 20, mode: int = 2, neg_ratio: int = 3):
+    """ML-1M-shaped two-tower retrieval bundle via the real preprocessing path."""
+    import pandas as pd
+
+    from torch_rechub_tpu.utils.match import gen_model_input, generate_seq_feature_match
+
+    rng = np.random.default_rng(seed)
+    users = rng.integers(1, n_users, n_inter)
+    items = ((users % 10) * (n_items // 10) + rng.integers(0, n_items // 10, n_inter)).clip(1, n_items - 1)
+    df = pd.DataFrame({"user_id": users, "movie_id": items, "time": rng.integers(0, 10**6, n_inter)})
+    df_train, df_test = generate_seq_feature_match(df, "user_id", "movie_id", "time", mode=mode, neg_ratio=neg_ratio, min_item=3)
+    user_profile = pd.DataFrame({"user_id": np.arange(n_users)})
+    item_profile = pd.DataFrame({"movie_id": np.arange(n_items)})
+    x_train = gen_model_input(df_train, user_profile, "user_id", item_profile, "movie_id", seq_max_len=seq_max_len)
+    x_test = gen_model_input(df_test, user_profile, "user_id", item_profile, "movie_id", seq_max_len=seq_max_len)
+    if mode == 0:
+        y_train = np.asarray(x_train.pop("label"), np.float32)
+    else:
+        x_train.pop("label", None)
+        y_train = np.zeros(len(x_train["user_id"]), np.int64)
+    x_test.pop("label", None)
+
+    user_features = (
+        SparseFeature("user_id", vocab_size=n_users, embed_dim=embed_dim),
+        SequenceFeature("hist_movie_id", vocab_size=n_items, embed_dim=embed_dim, pooling="mean", shared_with="movie_id"),
+    )
+    item_features = (SparseFeature("movie_id", vocab_size=n_items, embed_dim=embed_dim),)
+    neg_item_feature = (SequenceFeature("neg_items", vocab_size=n_items, embed_dim=embed_dim, pooling="concat", shared_with="movie_id"),)
+    x_all_item = {"movie_id": np.arange(n_items)}
+    return MatchingDatasetBundle(user_features, item_features, neg_item_feature, x_train, y_train, x_test, x_all_item, x_test)
+
+
+def build_census_multitask_dataset(seed: int = 2022, n: int = 2000, embed_dim: int = 8):
+    """Census-income-shaped MTL bundle: 2 binary tasks (cvr_label, ctr_label)."""
+    rng = np.random.default_rng(seed)
+    sparse_cols = [f"cat_{i}" for i in range(8)]
+    dense_cols = [f"num_{i}" for i in range(5)]
+    x = {c: rng.integers(0, 40, n).astype(np.int32) for c in sparse_cols}
+    x.update({c: rng.normal(size=n).astype(np.float32) for c in dense_cols})
+    l1 = (x["cat_0"] % 3 == 0).astype(np.float32) * 1.5 + x["num_0"] * 0.5 - 0.5
+    l2 = (x["cat_1"] % 2).astype(np.float32) * 1.2 + x["num_1"] * 0.3 - 0.6
+    y = np.stack([
+        (rng.random(n) < 1 / (1 + np.exp(-l1))).astype(np.float32),
+        (rng.random(n) < 1 / (1 + np.exp(-l2))).astype(np.float32),
+    ], axis=1)
+    features = tuple(SparseFeature(c, vocab_size=40, embed_dim=embed_dim) for c in sparse_cols) + tuple(DenseFeature(c) for c in dense_cols)
+    split = int(n * 0.8)
+    return MultiTaskDatasetBundle(
+        features,
+        ("classification", "classification"),
+        {k: v[:split] for k, v in x.items()},
+        y[:split],
+        {k: v[split:] for k, v in x.items()},
+        y[split:],
+    )
+
+
+DATASETS = {
+    "criteo-sample": build_criteo_ranking_dataset,
+    "ml-1m-sample": build_ml1m_matching_dataset,
+    "census-income-sample": build_census_multitask_dataset,
+}

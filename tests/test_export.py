@@ -1,0 +1,67 @@
+"""Export tests: StableHLO round-trip (full + tower modes) and quantization."""
+
+import jax
+import numpy as np
+import pytest
+
+from torch_rechub_tpu.basic.features import DenseFeature, SparseFeature
+from torch_rechub_tpu.models.matching import DSSM
+from torch_rechub_tpu.models.ranking import DeepFM
+from torch_rechub_tpu.utils.export import StableHLOExporter, dequantize_params, load_exported, quantization_error, quantize_params
+
+SPARSE = tuple(SparseFeature(f"C{i}", vocab_size=40, embed_dim=8) for i in range(3))
+DENSE = (DenseFeature("I0"),)
+
+
+def ctr_model_and_input():
+    model = DeepFM(deep_features=DENSE, fm_features=SPARSE, mlp_params={"dims": (8,), "dropout": 0.0})
+    rng = np.random.default_rng(0)
+    x = {f"C{i}": rng.integers(0, 40, 16).astype(np.int32) for i in range(3)}
+    x["I0"] = rng.normal(size=16).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, training=False)
+    return model, variables, x
+
+
+def test_stablehlo_roundtrip_full(tmp_path):
+    model, variables, x = ctr_model_and_input()
+    exporter = StableHLOExporter(model, variables)
+    path = exporter.export(str(tmp_path / "deepfm"), x)
+    run, _ = load_exported(path)
+    out = np.asarray(run(x))
+    expected = np.asarray(model.apply(variables, x, training=False))
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_stablehlo_tower_modes(tmp_path):
+    user = (SparseFeature("user_id", vocab_size=30, embed_dim=8),)
+    item = (SparseFeature("item_id", vocab_size=50, embed_dim=8),)
+    model = DSSM(user_features=user, item_features=item, user_params={"dims": (8,)}, item_params={"dims": (8,)})
+    rng = np.random.default_rng(0)
+    x = {"user_id": rng.integers(0, 30, 8).astype(np.int32), "item_id": rng.integers(0, 50, 8).astype(np.int32)}
+    variables = model.init(jax.random.PRNGKey(0), x, training=False)
+    exporter = StableHLOExporter(model, variables)
+    for mode in ("user", "item"):
+        path = exporter.export(str(tmp_path / f"dssm_{mode}"), x, mode=mode)
+        run, _ = load_exported(path)
+        out = np.asarray(run(x))
+        expected = np.asarray(model.apply(variables, x, training=False, mode=mode))
+        np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-6)
+        assert out.shape == (8, 8)
+
+
+def test_quantize_int8_and_fp16():
+    model, variables, x = ctr_model_and_input()
+    err = quantization_error(variables["params"], "int8")
+    assert err < 0.02  # int8 weight-only: <2% of max-abs per tensor
+    deq = dequantize_params(quantize_params(variables["params"], "fp16"))
+    p0 = np.asarray(jax.tree_util.tree_leaves(variables["params"])[0])
+    p1 = np.asarray(jax.tree_util.tree_leaves(deq)[0])
+    np.testing.assert_allclose(p0, p1, rtol=1e-2, atol=1e-3)
+
+
+def test_int8_model_outputs_close():
+    model, variables, x = ctr_model_and_input()
+    qparams = dequantize_params(quantize_params(variables["params"], "int8"))
+    base = np.asarray(jax.nn.sigmoid(model.apply(variables, x, training=False)))
+    quant = np.asarray(jax.nn.sigmoid(model.apply({"params": qparams, "batch_stats": variables.get("batch_stats", {})}, x, training=False)))
+    np.testing.assert_allclose(base, quant, atol=0.05)

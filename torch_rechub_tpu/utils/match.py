@@ -165,3 +165,69 @@ def gather_inbatch_logits(scores: jax.Array, neg_indices: jax.Array) -> jax.Arra
     pos = jnp.diagonal(scores)[:, None]
     neg = jnp.take_along_axis(scores, neg_indices, axis=1)
     return jnp.concatenate([pos, neg], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Legacy ANN engine wrappers (fit/query API used by example/benchmark eval;
+# reference ``utils/match.py:252-497``).  Delegate to the serving backends.
+# ---------------------------------------------------------------------------
+
+
+class _LegacyEngine:
+    """fit(X) / query(v, n) adapter over a serving BaseBuilder."""
+
+    def __init__(self, builder):
+        self._builder = builder
+        self._indexer = None
+        self._cm = None
+
+    def fit(self, X):
+        if self._cm is not None:
+            self._cm.__exit__(None, None, None)
+        self._cm = self._builder.from_embeddings(np.asarray(X))
+        self._indexer = self._cm.__enter__()
+        return self
+
+    def query(self, v, n):
+        ids, dists = self._indexer.query(np.asarray(v), n)
+        if ids.shape[0] == 1 and np.asarray(v).ndim == 1:
+            return ids[0].tolist(), dists[0].tolist()
+        return ids, dists
+
+
+class Annoy(_LegacyEngine):
+    """Annoy-compatible engine; falls back to the native HNSW when annoy is absent."""
+
+    def __init__(self, metric="angular", n_trees=10, search_k=-1):
+        try:
+            import annoy  # noqa: F401
+
+            from ..serving.annoy import AnnoyBuilder
+
+            super().__init__(AnnoyBuilder(metric=metric, n_trees=n_trees, search_k=search_k))
+        except ImportError:
+            from ..serving.hnsw import HnswBuilder
+
+            hnsw_metric = {"angular": "angular", "euclidean": "l2", "dot": "ip"}.get(metric, "angular")
+            super().__init__(HnswBuilder(metric=hnsw_metric, ef_search=max(64, search_k)))
+
+
+class Faiss(_LegacyEngine):
+    def __init__(self, index_key="Flat", metric="ip", **kwargs):
+        try:
+            import faiss  # noqa: F401
+
+            from ..serving.faiss import FaissBuilder
+
+            super().__init__(FaissBuilder(index_key=index_key, metric=metric, **kwargs))
+        except ImportError:
+            from ..serving.bruteforce import BruteForceBuilder
+
+            super().__init__(BruteForceBuilder(metric=metric))
+
+
+class Milvus(_LegacyEngine):
+    def __init__(self, **kwargs):
+        from ..serving.milvus import MilvusBuilder
+
+        super().__init__(MilvusBuilder(**kwargs))
