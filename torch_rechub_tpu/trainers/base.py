@@ -129,6 +129,34 @@ class JaxTrainer:
         rng, self._rng = jax.random.split(self._rng)
         return rng
 
+    # -- step checkpoints (preemption-safe resume) --------------------------
+    def enable_step_checkpointing(self, directory: str, every_n_steps: int = 100, max_to_keep: int = 3):
+        """Checkpoint the FULL TrainState every N steps; resume via maybe_resume()."""
+        from ..utils.checkpoint import TrainCheckpointer
+
+        self._ckpt = TrainCheckpointer(directory, max_to_keep=max_to_keep)
+        self._ckpt_every = every_n_steps
+        return self._ckpt
+
+    def maybe_step_checkpoint(self):
+        ckpt = getattr(self, "_ckpt", None)
+        if ckpt is None:
+            return
+        step = int(self.state.step)
+        if step > 0 and step % self._ckpt_every == 0:
+            ckpt.save(step, self.state)
+
+    def maybe_resume(self):
+        """Restore the latest step checkpoint into self.state; returns resumed step or None."""
+        ckpt = getattr(self, "_ckpt", None)
+        if ckpt is None or self.state is None:
+            return None
+        restored, step = ckpt.restore(jax.device_get(self.state))
+        if step is not None:
+            self.state = jax.tree_util.tree_map(jnp.asarray, restored)
+            print(f"resumed from step checkpoint {step}")
+        return step
+
     # -- checkpoints --------------------------------------------------------
     def save(self, name: str = "model.msgpack") -> str:
         return save_checkpoint(self.model_path, self.variables(), name)

@@ -99,6 +99,7 @@ class CTRTrainer(JaxTrainer):
             rng = self.next_dropout_rng()
             self.state, loss = self._train_step(self.state, x, y, jnp.asarray(w), jnp.asarray(lr, jnp.float32), rng)
             losses.append(loss)
+            self.maybe_step_checkpoint()
         if not losses:
             return 0.0
         return float(np.mean([to_numpy(l) for l in losses]))
