@@ -192,3 +192,20 @@ def test_topk_metrics_reference_format():
 
 def test_log_loss():
     np.testing.assert_allclose(log_loss(np.array([1.0, 0.0]), np.array([0.9, 0.1])), -np.log(0.9), rtol=1e-6)
+
+
+def test_embedding_optimizer_split():
+    """embedding_optimizer routes table updates through a different transform."""
+    import jax
+    import jax.numpy as jnp
+
+    from torch_rechub_tpu.trainers.base import make_optimizer
+
+    params = {"EmbeddingCollection_0": {"a_table": jnp.ones((4, 2))}, "Dense_0": {"kernel": jnp.ones((2, 2))}}
+    tx, lr = make_optimizer({"lr": 1e-3, "weight_decay": 0.0, "embedding_optimizer": "sgd"})
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(lambda a: 2.0 * jnp.ones_like(a), params)
+    updates, _ = tx.update(grads, state, params)
+    # sgd on embeddings passes the raw grad (2.0); adam normalizes to ~1.0
+    np.testing.assert_allclose(np.asarray(updates["EmbeddingCollection_0"]["a_table"]), 2.0)
+    assert np.abs(np.asarray(updates["Dense_0"]["kernel"])).max() < 1.5

@@ -40,16 +40,36 @@ def make_optimizer(optimizer_params: Optional[Dict] = None):
 
     Returns ``(tx, lr0)``; ``tx`` excludes the learning rate — the step does
     ``p - lr * update`` with ``lr`` as a traced argument.
+
+    ``embedding_optimizer`` (``"adagrad"`` | ``"sgd"``) switches the update
+    rule for embedding-table parameters only (path-classified) — the standard
+    production-recsys split (adaptive dense optimizer, cheap/sparse-friendly
+    table optimizer) via ``optax.multi_transform``.
     """
     optimizer_params = dict(optimizer_params or {"lr": 1e-3, "weight_decay": 1e-5})
     lr = float(optimizer_params.pop("lr", 1e-3))
     wd = float(optimizer_params.pop("weight_decay", 0.0))
     b1 = float(optimizer_params.pop("betas", (0.9, 0.999))[0]) if "betas" in optimizer_params else 0.9
+    emb_opt = optimizer_params.pop("embedding_optimizer", None)
     parts = []
     if wd > 0:
         parts.append(optax.add_decayed_weights(wd))
     parts.append(optax.scale_by_adam(b1=b1))
-    return optax.chain(*parts), lr
+    dense_tx = optax.chain(*parts)
+    if emb_opt is None:
+        return dense_tx, lr
+    if emb_opt == "adagrad":
+        emb_tx = optax.scale_by_rss(initial_accumulator_value=0.1)
+    elif emb_opt == "sgd":
+        emb_tx = optax.identity()
+    else:
+        raise ValueError(f"unknown embedding_optimizer {emb_opt!r}")
+    from ..basic.loss import classify_param
+
+    def label_tree(params):
+        return jax.tree_util.tree_map_with_path(lambda p, _: "emb" if classify_param(jax.tree_util.keystr(p)) == "embedding" else "dense", params)
+
+    return optax.multi_transform({"emb": emb_tx, "dense": dense_tx}, label_tree), lr
 
 
 def step_lr(lr0: float, epoch: int, scheduler_params: Optional[Dict]) -> float:

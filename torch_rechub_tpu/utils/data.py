@@ -312,3 +312,72 @@ def generate_seq_feature(data, user_col, item_col, time_col, item_attribute_cols
         for bucket in (train_data, val_data, test_data):
             _random.shuffle(bucket)
     return (pd.DataFrame(train_data, columns=col_name), pd.DataFrame(val_data, columns=col_name), pd.DataFrame(test_data, columns=col_name))
+
+
+def array_replace_with_dict(array, dic):
+    """Vectorized dict-based value replacement (reference ``utils/data.py:292-314``)."""
+    k = np.array(list(dic.keys()))
+    v = np.array(list(dic.values()))
+    idx = k.argsort()
+    return v[idx[np.searchsorted(k, array, sorter=idx)]]
+
+
+def create_seq_features(data, seq_feature_col=("item_id", "cate_id"), max_len=50, drop_short=3, shuffle=True):
+    """Legacy DIN-style sequence builder (reference ``utils/data.py:317-390``).
+
+    Requires columns ``user_id, item_id, cate_id, time``; returns
+    train/val/test frames with ``history_item/history_cate/target_*/label``.
+    """
+    import random as _random
+
+    import pandas as pd
+
+    data = data.copy()
+    for feat in data:
+        mapping = {val: i + 1 for i, val in enumerate(sorted(pd.unique(data[feat])))}
+        data[feat] = data[feat].map(mapping)
+    data = data.astype("int32")
+    n_items = data["item_id"].max()
+    item2cate = data[["item_id", "cate_id"]].set_index("item_id")["cate_id"].to_dict()
+    grouped = data.sort_values(["user_id", "time"]).groupby("user_id").agg(click=("item_id", list), cate=("cate_id", list)).reset_index()
+
+    train_data, val_data, test_data = [], [], []
+    for row in grouped.itertuples():
+        clicks, cates = row.click[:max_len], row.cate[:max_len]
+        if len(clicks) < drop_short:
+            continue
+        neg_list = [neg_sample(clicks, n_items) for _ in clicks]
+        hist, chist = [], []
+        for i in range(1, len(clicks)):
+            hist.append(clicks[i - 1])
+            chist.append(cates[i - 1])
+            hist_pad = hist + [0] * (max_len - len(hist))
+            chist_pad = chist + [0] * (max_len - len(chist))
+            pos = [row.user_id, hist_pad, chist_pad, clicks[i], cates[i], 1]
+            neg = [row.user_id, hist_pad, chist_pad, neg_list[i], item2cate[neg_list[i]], 0]
+            if i == len(clicks) - 1:
+                test_data += [pos, neg]
+            elif i == len(clicks) - 2:
+                val_data += [pos, neg]
+            else:
+                train_data += [pos, neg]
+    if shuffle:
+        for bucket in (train_data, val_data, test_data):
+            _random.shuffle(bucket)
+    cols = ["user_id", "history_item", "history_cate", "target_item", "target_cate", "label"]
+    return (pd.DataFrame(train_data, columns=cols), pd.DataFrame(val_data, columns=cols), pd.DataFrame(test_data, columns=cols))
+
+
+def load_embeddings(data_path: str) -> np.ndarray:
+    """Load pre-computed embeddings from .npy or .pt (reference ``EmbDataset``)."""
+    import os as _os
+
+    suffix = _os.path.splitext(data_path)[-1]
+    if suffix == ".npy":
+        return np.asarray(np.load(data_path), dtype=np.float32)
+    if suffix == ".pt":
+        import torch
+
+        tensor = torch.load(data_path, map_location="cpu")
+        return tensor.cpu().numpy().astype(np.float32)
+    raise ValueError(f"Unsupported embedding format: {suffix}")
