@@ -46,7 +46,7 @@ class HSTULayer(nn.Module):
         h, dqk, dv = self.n_heads, self.dqk, self.dv
         alpha = 1.0 / math.sqrt(dqk)
 
-        x_normed = nn.LayerNorm(name="norm_in")(x)
+        x_normed = nn.LayerNorm(epsilon=1e-5, name="norm_in")(x)
         proj = jax.nn.silu(nn.Dense(2 * h * dqk + 2 * h * dv, kernel_init=torch_linear_init, name="proj1")(x_normed))
         q = proj[..., : h * dqk].reshape(b, l, h, dqk)
         k = proj[..., h * dqk: 2 * h * dqk].reshape(b, l, h, dqk)
@@ -80,7 +80,7 @@ class HSTULayer(nn.Module):
             scores = jnp.where(valid, scores, -1e4)
             attn = jax.nn.silu(scores) / self.max_seq_len
             out = jnp.einsum("bhlm,bmhd->blhd", attn, v).reshape(b, l, h * dv)
-        gated = nn.LayerNorm(name="norm_attn")(out) * u
+        gated = nn.LayerNorm(epsilon=1e-5, name="norm_attn")(out) * u
         gated = nn.Dropout(self.dropout, deterministic=not training)(gated)
         return nn.Dense(self.d_model, kernel_init=torch_linear_init, name="proj2")(gated)
 

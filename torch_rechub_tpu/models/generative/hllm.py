@@ -33,7 +33,7 @@ class HLLMTransformerBlock(nn.Module):
         h = self.n_heads
         head_dim = d // h
         residual = x
-        x = nn.LayerNorm(name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         dense = lambda name: nn.Dense(d, kernel_init=torch_linear_init, name=name)
         q = dense("W_Q")(x).reshape(b, l, h, head_dim).transpose(0, 2, 1, 3)
         k = dense("W_K")(x).reshape(b, l, h, head_dim).transpose(0, 2, 1, 3)
@@ -51,7 +51,7 @@ class HLLMTransformerBlock(nn.Module):
         x = residual + out
 
         residual = x
-        x = nn.LayerNorm(name="norm2")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         x = nn.Dense(4 * d, kernel_init=torch_linear_init)(x)
         x = jax.nn.relu(x)
         x = nn.Dropout(self.dropout, deterministic=not training)(x)

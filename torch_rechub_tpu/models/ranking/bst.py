@@ -38,12 +38,12 @@ class TransformerEncoderLayer(nn.Module):
             deterministic=not training,
             kernel_init=torch_linear_init,
         )(x, x, mask=attn_mask)
-        x = nn.LayerNorm()(x + nn.Dropout(self.dropout, deterministic=not training)(attn))
+        x = nn.LayerNorm(epsilon=1e-5)(x + nn.Dropout(self.dropout, deterministic=not training)(attn))
         ff = nn.Dense(self.dim_feedforward, kernel_init=torch_linear_init)(x)
         ff = jax.nn.leaky_relu(ff, negative_slope=0.01)
         ff = nn.Dropout(self.dropout, deterministic=not training)(ff)
         ff = nn.Dense(self.d_model, kernel_init=torch_linear_init)(ff)
-        return nn.LayerNorm()(x + nn.Dropout(self.dropout, deterministic=not training)(ff))
+        return nn.LayerNorm(epsilon=1e-5)(x + nn.Dropout(self.dropout, deterministic=not training)(ff))
 
 
 class BST(nn.Module):
