@@ -26,8 +26,11 @@ class Dice(nn.Module):
     @nn.compact
     def __call__(self, x):
         alpha = self.param("alpha", jax.nn.initializers.normal(1.0), (1,))
-        avg = jnp.mean(x, axis=1, keepdims=True)
-        var = jnp.sum((x - avg) ** 2 + self.epsilon, axis=1, keepdims=True)
+        # normalize over the FEATURE axis (the reference flattens to (N, C)
+        # and uses dim=1; axis=-1 generalizes that to 3-D inputs like DIN's
+        # (B, L, C) attention features)
+        avg = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.sum((x - avg) ** 2 + self.epsilon, axis=-1, keepdims=True)
         ps = jax.nn.sigmoid((x - avg) / jnp.sqrt(var))
         return ps * x + (1.0 - ps) * alpha * x
 

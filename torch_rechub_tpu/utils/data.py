@@ -100,8 +100,10 @@ class ArrayLoader:
 def pad_batch(x: Dict[str, np.ndarray], y: Optional[np.ndarray], batch_size: int) -> Tuple[Dict[str, np.ndarray], Optional[np.ndarray], np.ndarray]:
     """Pad a (possibly partial) batch to ``batch_size``; returns a 0/1 weight mask.
 
-    Padding repeats row 0 (valid ids, zero weight) so embedding lookups stay
-    in-vocab; metrics/losses must honour the returned weights.
+    Padding CYCLES real rows (not row-0 repeats): zero-weight rows never enter
+    the loss, but BatchNorm batch statistics are unweighted — filling with
+    copies of a single row would skew them, while cycled real rows keep the
+    statistics near-iid.
     """
     n = len(next(iter(x.values())))
     w = np.ones(batch_size, dtype=np.float32)
@@ -109,9 +111,10 @@ def pad_batch(x: Dict[str, np.ndarray], y: Optional[np.ndarray], batch_size: int
         return x, y, w
     w[n:] = 0.0
     pad = batch_size - n
+    idx = np.arange(pad) % n  # cycle real rows
 
     def pad_arr(a):
-        return np.concatenate([a, np.repeat(a[:1], pad, axis=0)], axis=0)
+        return np.concatenate([a, a[idx]], axis=0)
 
     x = {k: pad_arr(v) for k, v in x.items()}
     if y is not None:
