@@ -1,0 +1,88 @@
+"""Chunked large-vocab CE == dense next-token CE (values + gradients)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torch_rechub_tpu.models.generative.hstu import HSTUModel
+from torch_rechub_tpu.ops.chunked_ce import chunked_last_logits, chunked_logsumexp, chunked_next_token_loss
+from torch_rechub_tpu.trainers.seq_trainer import SeqTrainer, next_token_loss
+from torch_rechub_tpu.utils.data import SequenceDataGenerator
+
+VOCAB, L, D = 97, 12, 16  # prime vocab → ragged final chunk
+
+
+def seq_batch(n=6, seed=0):
+    rng = np.random.default_rng(seed)
+    lengths = rng.integers(2, L + 1, n)
+    toks = np.zeros((n, L), dtype=np.int32)
+    for i, l in enumerate(lengths):
+        toks[i, :l] = rng.integers(1, VOCAB, l)
+    tds = rng.integers(0, 86400, (n, L)).astype(np.int32)
+    targets = rng.integers(1, VOCAB, n).astype(np.int32)
+    return toks, tds, targets
+
+
+@pytest.mark.parametrize("chunk_size", [16, 97, 4096])
+def test_chunked_logsumexp_matches_dense(chunk_size):
+    rng = np.random.default_rng(1)
+    hidden = jnp.asarray(rng.normal(size=(4, L, D)), jnp.float32)
+    weight = jnp.asarray(rng.normal(size=(VOCAB, D)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(VOCAB,)), jnp.float32)
+    logits = (jnp.einsum("bld,vd->blv", hidden, weight) + bias).at[..., 0].set(-1e9) / 0.7
+    dense = jax.scipy.special.logsumexp(logits, axis=-1)
+    ours = chunked_logsumexp(hidden, weight, bias, temperature=0.7, ignore_index=0, chunk_size=chunk_size)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(dense), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("use_bias,temperature", [(True, 1.0), (False, 0.5)])
+def test_chunked_loss_and_grads_match_dense(use_bias, temperature):
+    rng = np.random.default_rng(2)
+    toks, _tds, targets = seq_batch()
+    hidden = jnp.asarray(rng.normal(size=(toks.shape[0], L, D)), jnp.float32)
+    weight = jnp.asarray(rng.normal(size=(VOCAB, D)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(VOCAB,)), jnp.float32) if use_bias else None
+
+    def dense_loss(hidden, weight, bias):
+        logits = jnp.einsum("bld,vd->blv", hidden, weight)
+        if bias is not None:
+            logits = logits + bias
+        return next_token_loss(logits, jnp.asarray(toks), jnp.asarray(targets), temperature, 0)
+
+    def chunked(hidden, weight, bias):
+        return chunked_next_token_loss(hidden, weight, jnp.asarray(toks), jnp.asarray(targets), bias, temperature, 0, chunk_size=16)
+
+    ld, gd = jax.value_and_grad(dense_loss, argnums=(0, 1))(hidden, weight, bias)
+    lc, gc = jax.value_and_grad(chunked, argnums=(0, 1))(hidden, weight, bias)
+    np.testing.assert_allclose(float(lc), float(ld), rtol=1e-5)
+    for a, b in zip(gc, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5)
+
+
+def test_hstu_return_hidden_reconstructs_logits():
+    model = HSTUModel(vocab_size=VOCAB, d_model=D, n_heads=2, n_layers=1, dqk=8, dv=8, max_seq_len=L, dropout=0.0, num_time_buckets=8, score_norm="l2", temperature=0.3)
+    toks, tds, _ = seq_batch()
+    variables = model.init(jax.random.PRNGKey(0), toks, tds, training=False)
+    dense = np.asarray(model.apply(variables, toks, tds, training=False))
+    out = model.apply(variables, toks, tds, training=False, return_hidden=True)
+    recon = np.asarray(chunked_last_logits(out["hidden"][:, -1, :], out["weight"], out["bias"], model.temperature))
+    np.testing.assert_allclose(recon, dense[:, -1, :], rtol=2e-5, atol=2e-5)
+
+
+def test_seq_trainer_chunked_path_trains_and_matches_dense_eval():
+    toks, tds, targets = seq_batch(n=16, seed=3)
+    positions = np.tile(np.arange(L, dtype=np.int32), (16, 1))
+    dg = SequenceDataGenerator(toks, positions, targets, tds)
+    train_dl, val_dl, _ = dg.generate_dataloader(batch_size=8, split_ratio=(0.5, 0.25, 0.25))
+    model = HSTUModel(vocab_size=VOCAB, d_model=D, n_heads=2, n_layers=1, dqk=8, dv=8, max_seq_len=L, dropout=0.0, num_time_buckets=8)
+
+    t_dense = SeqTrainer(model, n_epoch=1, model_path="/tmp/rechub_seq_dense", seed=0)
+    t_chunk = SeqTrainer(model, n_epoch=1, model_path="/tmp/rechub_seq_chunk", seed=0, vocab_chunk_size=16)
+    t_dense.fit(train_dl, val_dl)
+    t_chunk.fit(train_dl, val_dl)
+    ld, hd = t_dense.evaluate(val_dl)
+    lc, hc = t_chunk.evaluate(val_dl)
+    # identical seeds → identical training trajectories regardless of CE path
+    assert abs(ld - lc) < 1e-3
+    assert hd == pytest.approx(hc, abs=1e-6)

@@ -65,3 +65,46 @@ def test_int8_model_outputs_close():
     base = np.asarray(jax.nn.sigmoid(model.apply(variables, x, training=False)))
     quant = np.asarray(jax.nn.sigmoid(model.apply({"params": qparams, "batch_stats": variables.get("batch_stats", {})}, x, training=False)))
     np.testing.assert_allclose(base, quant, atol=0.05)
+
+
+def test_trainer_export_and_visualization(tmp_path):
+    """Trainer-level export()/visualization() (reference trainers' export_onnx
+    + visualization methods, ``trainers/ctr_trainer.py:189-322``)."""
+    from torch_rechub_tpu.trainers import CTRTrainer
+    from torch_rechub_tpu.utils.data import DataGenerator
+
+    model, _, x = ctr_model_and_input()
+    y = np.random.default_rng(1).integers(0, 2, 16).astype(np.float32)
+    train_dl, _, _ = DataGenerator(x, y).generate_dataloader(batch_size=8)
+    trainer = CTRTrainer(model, n_epoch=1, model_path=str(tmp_path))
+    trainer.fit(train_dl)
+
+    path = trainer.export(str(tmp_path / "deepfm_trained"), x)
+    run, _ = load_exported(path)
+    expected = np.asarray(model.apply(trainer.variables(), x, training=False))
+    np.testing.assert_allclose(np.asarray(run(x)), expected, rtol=1e-5, atol=1e-6)
+
+    summary = trainer.visualization(save_path=str(tmp_path / "summary.txt"))
+    assert "params" in summary.lower() or "total" in summary.lower()
+    assert (tmp_path / "summary.txt").exists()
+
+
+def test_match_trainer_tower_export(tmp_path):
+    """Dual-tower export through the trainer (reference match_trainer.py:266-339)."""
+    from torch_rechub_tpu.trainers import MatchTrainer
+    from torch_rechub_tpu.utils.data import DataGenerator
+
+    user = (SparseFeature("user_id", vocab_size=30, embed_dim=8),)
+    item = (SparseFeature("item_id", vocab_size=50, embed_dim=8),)
+    model = DSSM(user_features=user, item_features=item, user_params={"dims": (8,)}, item_params={"dims": (8,)})
+    rng = np.random.default_rng(0)
+    x = {"user_id": rng.integers(0, 30, 16).astype(np.int32), "item_id": rng.integers(0, 50, 16).astype(np.int32)}
+    y = rng.integers(0, 2, 16).astype(np.float32)
+    train_dl, _, _ = DataGenerator(x, y).generate_dataloader(batch_size=8)
+    trainer = MatchTrainer(model, mode=0, n_epoch=1, model_path=str(tmp_path))
+    trainer.fit(train_dl)
+    for mode in ("user", "item"):
+        path = trainer.export(str(tmp_path / f"dssm_{mode}"), x, mode=mode)
+        run, _ = load_exported(path)
+        expected = np.asarray(model.apply(trainer.variables(), x, training=False, mode=mode))
+        np.testing.assert_allclose(np.asarray(run(x)), expected, rtol=1e-5, atol=1e-6)

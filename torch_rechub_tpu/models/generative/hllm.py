@@ -75,7 +75,7 @@ class HLLMModel(nn.Module):
     temperature: float = 0.07
 
     @nn.compact
-    def __call__(self, seq_tokens, time_diffs=None, training: bool = False):
+    def __call__(self, seq_tokens, time_diffs=None, training: bool = False, return_hidden: bool = False):
         emb_np = np.asarray(self.item_embeddings, dtype=np.float32)
         if emb_np.shape[0] != self.vocab_size:
             raise ValueError(f"item_embeddings.shape[0]={emb_np.shape[0]} != vocab_size={self.vocab_size}")
@@ -103,4 +103,8 @@ class HLLMModel(nn.Module):
             x = HLLMTransformerBlock(self.d_model, self.n_heads, self.dropout, name=f"block_{i}")(x, rel_bias, training=training)
 
         x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
+        if return_hidden:
+            # For chunked large-vocab CE: cosine-normalized hidden + frozen
+            # item table; the caller folds in self.temperature.
+            return {"hidden": x, "weight": item_table, "bias": None}
         return jnp.einsum("bld,vd->blv", x, item_table) / self.temperature

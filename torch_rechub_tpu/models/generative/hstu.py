@@ -40,7 +40,7 @@ class HSTUModel(nn.Module):
     l2_norm_eps: float = 1e-6
 
     @nn.compact
-    def __call__(self, x, time_diffs=None, training: bool = False):
+    def __call__(self, x, time_diffs=None, training: bool = False, return_hidden: bool = False):
         if self.score_norm not in ("none", "l2"):
             raise ValueError("score_norm must be 'none' or 'l2'")
         b, l = x.shape
@@ -93,6 +93,12 @@ class HSTUModel(nn.Module):
         if self.score_norm == "l2":
             out = out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), self.l2_norm_eps)
             weight = weight / jnp.maximum(jnp.linalg.norm(weight, axis=-1, keepdims=True), self.l2_norm_eps)
+
+        if return_hidden:
+            # For chunked large-vocab CE (ops/chunked_ce.py): hand back the
+            # score-normalized hidden states + output table instead of the
+            # (B, L, V) logits; the caller folds in self.temperature.
+            return {"hidden": out, "weight": weight, "bias": bias}
 
         logits = jnp.einsum("bld,vd->blv", out, weight)
         if bias is not None:

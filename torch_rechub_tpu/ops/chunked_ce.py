@@ -1,0 +1,108 @@
+"""Chunked large-vocabulary cross-entropy.
+
+The reference computes full ``(B, L, V)`` logits and a log-softmax over them
+(``torch_rechub/trainers/seq_trainer.py:169-187``); at Amazon-Books scale
+(V ≈ 686k, ``examples/generative/run_hstu_amazon_books.py:3-7``) that tensor
+is the memory bottleneck of generative training.  This module computes the
+identical next-token CE **without ever materializing the logits**:
+
+- the target logit is a direct gather: ``sum(hidden * weight[target]) + b``;
+- the log-sum-exp is accumulated online over vocabulary chunks with a
+  ``lax.scan`` whose body is ``jax.checkpoint``-ed, so peak memory is
+  ``B*L*chunk`` instead of ``B*L*V`` in both forward and backward while the
+  total MXU FLOPs are unchanged (one ``(B*L, D) @ (D, V)`` matmul, tiled).
+
+Matches the reference's semantics: labels are ``concat(seq[1:], target)``,
+positions whose *current* token is PAD are masked, and the PAD logit is
+excluded from the partition function (the reference clamps it to -1e9).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30
+
+
+def chunked_logsumexp(hidden: jnp.ndarray, weight: jnp.ndarray, bias: Optional[jnp.ndarray] = None, temperature: float = 1.0, ignore_index: Optional[int] = 0, chunk_size: int = 8192) -> jnp.ndarray:
+    """``logsumexp(hidden @ weight.T (+bias) / T, axis=-1)`` over vocab chunks.
+
+    Args:
+        hidden: ``(..., D)`` activations.
+        weight: ``(V, D)`` output table (tied embedding or projection).
+        bias: optional ``(V,)`` output bias.
+        temperature: logits are divided by this before the softmax.
+        ignore_index: vocab column excluded from the partition function
+            (the reference's PAD clamp); ``None`` keeps all columns.
+        chunk_size: vocab tile size; peak memory is ``prod(batch dims) * chunk_size``.
+
+    Returns:
+        ``(...,)`` log-partition values.
+    """
+    v, d = weight.shape
+    chunk_size = min(chunk_size, v)
+    n_chunks = -(-v // chunk_size)
+    pad = n_chunks * chunk_size - v
+    w = jnp.pad(weight, ((0, pad), (0, 0))).reshape(n_chunks, chunk_size, d)
+    b = jnp.pad(bias, (0, pad)) if bias is not None else jnp.zeros((n_chunks * chunk_size,), hidden.dtype)
+    b = b.reshape(n_chunks, chunk_size)
+    col_ids = jnp.arange(n_chunks * chunk_size, dtype=jnp.int32).reshape(n_chunks, chunk_size)
+    valid_cols = col_ids < v
+    if ignore_index is not None:
+        valid_cols = valid_cols & (col_ids != ignore_index)
+
+    inv_t = jnp.asarray(1.0 / temperature, hidden.dtype)
+
+    @jax.checkpoint
+    def body(carry, chunk):
+        m, s = carry
+        w_c, b_c, valid_c = chunk
+        logits = (jnp.einsum("...d,cd->...c", hidden, w_c) + b_c) * inv_t
+        logits = jnp.where(valid_c, logits, _NEG_INF)
+        cm = jnp.maximum(m, jnp.max(logits, axis=-1))
+        s = s * jnp.exp(m - cm) + jnp.sum(jnp.where(valid_c, jnp.exp(logits - cm[..., None]), 0.0), axis=-1)
+        return (cm, s), None
+
+    m0 = jnp.full(hidden.shape[:-1], _NEG_INF, hidden.dtype)
+    s0 = jnp.zeros(hidden.shape[:-1], hidden.dtype)
+    (m, s), _ = jax.lax.scan(body, (m0, s0), (w, b, valid_cols))
+    return m + jnp.log(jnp.maximum(s, 1e-30))
+
+
+def chunked_next_token_loss(hidden: jnp.ndarray, weight: jnp.ndarray, seq_tokens: jnp.ndarray, targets: jnp.ndarray, bias: Optional[jnp.ndarray] = None, temperature: float = 1.0, ignore_index: int = 0, chunk_size: int = 8192) -> jnp.ndarray:
+    """Shifted next-token CE equal to ``next_token_loss`` on dense logits.
+
+    Args:
+        hidden: ``(B, L, D)`` final hidden states (already score-normalized
+            if the model L2-normalizes; see ``HSTUModel(return_hidden=True)``).
+        weight: ``(V, D)`` output table.
+        seq_tokens: ``(B, L)`` input tokens (PAD = ``ignore_index``).
+        targets: ``(B,)`` held-out next item per sequence.
+        temperature: combined logits divisor (model temperature × loss
+            temperature for NCE).
+    """
+    next_tokens = jnp.concatenate([seq_tokens[:, 1:], targets[:, None]], axis=1)
+    next_tokens = jnp.where(seq_tokens == ignore_index, ignore_index, next_tokens).astype(jnp.int32)
+
+    w_t = jnp.take(weight, next_tokens, axis=0)
+    logit_t = jnp.einsum("bld,bld->bl", hidden, w_t)
+    if bias is not None:
+        logit_t = logit_t + jnp.take(bias, next_tokens, axis=0)
+    logit_t = logit_t / temperature
+
+    lse = chunked_logsumexp(hidden, weight, bias, temperature, ignore_index, chunk_size)
+    nll = lse - logit_t
+    mask = (next_tokens != ignore_index).astype(nll.dtype)
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def chunked_last_logits(hidden_last: jnp.ndarray, weight: jnp.ndarray, bias: Optional[jnp.ndarray] = None, temperature: float = 1.0) -> jnp.ndarray:
+    """Dense ``(B, V)`` logits for the last position only (eval / top-k)."""
+    logits = jnp.einsum("bd,vd->bv", hidden_last, weight)
+    if bias is not None:
+        logits = logits + bias
+    return logits / temperature

@@ -177,6 +177,49 @@ class JaxTrainer:
             print(f"resumed from step checkpoint {step}")
         return step
 
+    # -- export / visualization ---------------------------------------------
+    def export(self, output_path: str, example_input=None, mode: Optional[str] = None) -> str:
+        """StableHLO export of the trained model.
+
+        Equivalent of the reference trainers' ``export_onnx`` methods
+        (``trainers/ctr_trainer.py:189-244``, dual-tower modes at
+        ``trainers/match_trainer.py:266-339``): serializes the jitted forward
+        (full model, or ``mode in ("user", "item")`` for two-tower models) to
+        portable StableHLO plus a params msgpack.
+
+        Args:
+            output_path: destination path (``.stablehlo`` appended if absent).
+            example_input: representative input pytree defining shapes/dtypes;
+                derived from the model's feature schema when omitted.
+            mode: ``None`` full model, or ``"user"`` / ``"item"`` tower-only.
+        """
+        if self.state is None:
+            raise RuntimeError("export() requires a trained/initialized model — call fit() first")
+        from ..utils.export import StableHLOExporter
+        from ..utils.model_utils import generate_dummy_input
+
+        if example_input is None:
+            example_input = generate_dummy_input(self.model)
+        exporter = StableHLOExporter(self.model, jax.device_get(self.variables()))
+        return exporter.export(output_path, example_input, mode=mode)
+
+    def visualization(self, x=None, save_path: Optional[str] = None) -> str:
+        """Model architecture summary (reference ``visualization`` methods,
+        ``trainers/ctr_trainer.py:246-322``): per-module parameter table with
+        shapes and a FLOP estimate; optionally written to ``save_path``.
+        """
+        from ..utils.model_utils import generate_dummy_input, model_summary
+
+        if x is None:
+            x = generate_dummy_input(self.model)
+        summary = model_summary(self.model, x=x, variables=self.variables() if self.state is not None else None)
+        if save_path:
+            os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+            with open(save_path, "w") as f:
+                f.write(summary)
+        print(summary)
+        return summary
+
     # -- checkpoints --------------------------------------------------------
     def save(self, name: str = "model.msgpack") -> str:
         return save_checkpoint(self.model_path, self.variables(), name)

@@ -20,6 +20,7 @@ import numpy as np
 
 from ..basic.callback import EarlyStopper
 from ..basic.tracking import iter_loggers
+from ..ops.chunked_ce import chunked_last_logits, chunked_next_token_loss
 from .base import JaxTrainer, TrainState, apply_updates, to_numpy
 
 
@@ -35,13 +36,17 @@ def next_token_loss(logits, seq_tokens, targets, temperature: float = 1.0, ignor
 
 
 class SeqTrainer(JaxTrainer):
-    def __init__(self, model, optimizer_params=None, scheduler_params=None, n_epoch=10, earlystop_patience=10, model_path="./", loss_type="cross_entropy", loss_params=None, model_logger=None, mesh=None, seed=0):
+    def __init__(self, model, optimizer_params=None, scheduler_params=None, n_epoch=10, earlystop_patience=10, model_path="./", loss_type="cross_entropy", loss_params=None, model_logger=None, mesh=None, seed=0, vocab_chunk_size=None):
         super().__init__(model, optimizer_params, scheduler_params, n_epoch, earlystop_patience, model_path, mesh, seed, model_logger)
         self.loss_type = loss_type
         if loss_type == "nce":
             self.loss_params = loss_params or {"temperature": 0.1, "ignore_index": 0}
         else:
             self.loss_params = loss_params or {"ignore_index": 0}
+        # When set, the (B, L, V) logits tensor is never materialized: the
+        # model returns hidden states (return_hidden=True) and the CE is
+        # accumulated over vocab chunks of this size (ops/chunked_ce.py).
+        self.vocab_chunk_size = vocab_chunk_size
         self.early_stopper = EarlyStopper(patience=earlystop_patience)
         self._train_step = None
         self._eval_step = None
@@ -50,11 +55,19 @@ class SeqTrainer(JaxTrainer):
         model = self.model
         temperature = float(self.loss_params.get("temperature", 1.0)) if self.loss_type == "nce" else 1.0
         ignore_index = int(self.loss_params.get("ignore_index", 0))
+        chunk = self.vocab_chunk_size
+        # The dense path applies the model's own temperature inside apply();
+        # the chunked path gets raw hidden/table, so fold it in here.
+        chunked_t = temperature * float(getattr(model, "temperature", 1.0))
 
         consts = self.const_vars
 
         def loss_fn(params, batch_stats, seq_tokens, time_diffs, targets, rng):
             variables = {"params": params, "batch_stats": batch_stats, **consts}
+            if chunk is not None:
+                out, mutated = model.apply(variables, seq_tokens, time_diffs, training=True, return_hidden=True, rngs={"dropout": rng}, mutable=["batch_stats"])
+                loss = chunked_next_token_loss(out["hidden"], out["weight"], seq_tokens, targets, out["bias"], chunked_t, ignore_index, chunk)
+                return loss, mutated.get("batch_stats", batch_stats)
             logits, mutated = model.apply(variables, seq_tokens, time_diffs, training=True, rngs={"dropout": rng}, mutable=["batch_stats"])
             loss = next_token_loss(logits, seq_tokens, targets, temperature, ignore_index)
             return loss, mutated.get("batch_stats", batch_stats)
@@ -68,7 +81,13 @@ class SeqTrainer(JaxTrainer):
 
         @jax.jit
         def eval_step(params, batch_stats, seq_tokens, time_diffs, targets):
-            logits = model.apply({"params": params, "batch_stats": batch_stats, **consts}, seq_tokens, time_diffs, training=False)
+            variables = {"params": params, "batch_stats": batch_stats, **consts}
+            if chunk is not None:
+                out = model.apply(variables, seq_tokens, time_diffs, training=False, return_hidden=True)
+                loss = chunked_next_token_loss(out["hidden"], out["weight"], seq_tokens, targets, out["bias"], chunked_t, ignore_index, chunk)
+                last = chunked_last_logits(out["hidden"][:, -1, :], out["weight"], out["bias"], chunked_t).at[:, ignore_index].set(-1e9)
+                return loss, jnp.argmax(last, axis=-1)
+            logits = model.apply(variables, seq_tokens, time_diffs, training=False)
             loss = next_token_loss(logits, seq_tokens, targets, temperature, ignore_index)
             last = logits[:, -1, :].at[:, 0].set(-1e9)
             preds = jnp.argmax(last, axis=-1)
