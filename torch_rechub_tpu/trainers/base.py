@@ -120,7 +120,10 @@ class JaxTrainer:
     def init_state(self, x_sample) -> TrainState:
         init_rng, self._rng = jax.random.split(self._rng)
         x_dev = {k: jnp.asarray(v) for k, v in x_sample.items()}
-        variables = self.model.init({"params": init_rng, "dropout": init_rng, "routing": init_rng}, x_dev, training=False)
+        # jit the init: eager flax init dispatches hundreds of tiny ops, which
+        # is pathological over a remote-device transport (one RTT per op).
+        init_fn = jax.jit(lambda rngs, x: self.model.init(rngs, x, training=False))
+        variables = init_fn({"params": init_rng, "dropout": init_rng, "routing": init_rng}, x_dev)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         self.const_vars = {k: v for k, v in variables.items() if k not in ("params", "batch_stats")}

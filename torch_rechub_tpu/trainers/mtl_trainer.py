@@ -90,7 +90,8 @@ class MTLTrainer(JaxTrainer):
     def init_state(self, x_sample):
         init_rng, self._rng = jax.random.split(self._rng)
         x_dev = {k: jnp.asarray(v) for k, v in x_sample.items()}
-        variables = self.model.init({"params": init_rng, "dropout": init_rng}, x_dev, training=False)
+        init_fn = jax.jit(lambda rngs, x: self.model.init(rngs, x, training=False))
+        variables = init_fn({"params": init_rng, "dropout": init_rng}, x_dev)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         if self.adaptive_method == "uwl":

@@ -98,7 +98,8 @@ class SeqTrainer(JaxTrainer):
     def init_state_from_batch(self, batch):
         seq_tokens, _pos, time_diffs, _targets = batch
         init_rng, self._rng = jax.random.split(self._rng)
-        variables = self.model.init({"params": init_rng, "dropout": init_rng}, jnp.asarray(seq_tokens), jnp.asarray(time_diffs), training=False)
+        init_fn = jax.jit(lambda rngs, toks, tds: self.model.init(rngs, toks, tds, training=False))
+        variables = init_fn({"params": init_rng, "dropout": init_rng}, jnp.asarray(seq_tokens), jnp.asarray(time_diffs))
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         self.const_vars = {k: v for k, v in variables.items() if k not in ("params", "batch_stats")}
