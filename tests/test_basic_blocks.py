@@ -209,3 +209,35 @@ def test_embedding_optimizer_split():
     # sgd on embeddings passes the raw grad (2.0); adam normalizes to ~1.0
     np.testing.assert_allclose(np.asarray(updates["EmbeddingCollection_0"]["a_table"]), 2.0)
     assert np.abs(np.asarray(updates["Dense_0"]["kernel"])).max() < 1.5
+
+
+def test_steps_per_call_scan_matches_single_step():
+    """Device-side multi-step scan == per-step dispatch (dropout off)."""
+    import jax
+    import numpy as np
+
+    from torch_rechub_tpu.basic.features import DenseFeature, SparseFeature
+    from torch_rechub_tpu.models.ranking import DeepFM
+    from torch_rechub_tpu.trainers import CTRTrainer
+    from torch_rechub_tpu.utils.data import ArrayLoader
+
+    rng = np.random.default_rng(0)
+    n = 96
+    x = {f"C{i}": rng.integers(0, 50, n).astype(np.int32) for i in range(3)}
+    x["I0"] = rng.normal(size=n).astype(np.float32)
+    y = rng.integers(0, 2, n).astype(np.float32)
+    sparse = tuple(SparseFeature(f"C{i}", vocab_size=50, embed_dim=8) for i in range(3))
+    dense = (DenseFeature("I0"),)
+
+    def run(steps_per_call):
+        model = DeepFM(deep_features=dense, fm_features=sparse, mlp_params={"dims": (16,), "dropout": 0.0})
+        tr = CTRTrainer(model, n_epoch=2, model_path="/tmp/rechub_scan", seed=0, steps_per_call=steps_per_call)
+        dl = ArrayLoader(x, y, batch_size=32, shuffle=False)
+        losses = [tr.train_one_epoch(dl) for _ in range(2)]
+        return losses, jax.device_get(tr.state.params)
+
+    l1, p1 = run(1)
+    l4, p4 = run(4)
+    np.testing.assert_allclose(l1, l4, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p4)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)

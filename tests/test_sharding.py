@@ -93,3 +93,22 @@ def test_brute_force_topk_sharded_matches():
     idx1, val1 = brute_force_topk(users, items, 10, mesh=mesh)
     np.testing.assert_array_equal(idx0, idx1)
     np.testing.assert_allclose(val0, val1, rtol=1e-5)
+
+
+def test_scan_steps_sharded_matches_unsharded():
+    """steps_per_call>1 under a (data, model) mesh == single-device scan."""
+    x, y = data()
+
+    def run(mesh):
+        model = build_model()
+        tr = CTRTrainer(model, n_epoch=1, model_path="/tmp/rechub_shard_scan", seed=7, mesh=mesh, steps_per_call=4)
+        dl = ArrayLoader(x, y, batch_size=64, shuffle=False)
+        # Compare the training TRAJECTORY (per-epoch losses), not raw params:
+        # Adam amplifies reduction-order roundoff (~1e-7) on near-zero-moment
+        # embedding rows into visible param noise, while the trajectory stays
+        # equal to float tolerance.
+        return [tr.train_one_epoch(dl) for _ in range(3)]
+
+    l_ref = run(None)
+    l_mesh = run(create_mesh(data=4, model=2))
+    np.testing.assert_allclose(l_ref, l_mesh, rtol=1e-4)

@@ -52,6 +52,14 @@ def batch_sharding(mesh: Optional[Mesh]):
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def scan_batch_sharding(mesh: Optional[Mesh]):
+    """Sharding for stacked multi-step batches ``(n_steps, batch, ...)``:
+    the scan axis replicates, the batch axis shards over data."""
+    if mesh is None:
+        return None
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def replicated_sharding(mesh: Optional[Mesh]):
     if mesh is None:
         return None

@@ -40,12 +40,18 @@ class CTRTrainer(JaxTrainer):
         mesh: optional ``jax.sharding.Mesh`` for SPMD execution.
     """
 
-    def __init__(self, model, optimizer_params=None, regularization_params=None, scheduler_params=None, n_epoch=10, earlystop_patience=10, loss_mode=True, model_path="./", model_logger=None, mesh=None, seed=0, batch_size_hint=None):
+    def __init__(self, model, optimizer_params=None, regularization_params=None, scheduler_params=None, n_epoch=10, earlystop_patience=10, loss_mode=True, model_path="./", model_logger=None, mesh=None, seed=0, batch_size_hint=None, steps_per_call=1):
         super().__init__(model, optimizer_params, scheduler_params, n_epoch, earlystop_patience, model_path, mesh, seed, model_logger)
         self.loss_mode = loss_mode
         self.reg_loss_fn = RegularizationLoss(**(regularization_params or {}))
         self.early_stopper = EarlyStopper(patience=earlystop_patience)
+        # steps_per_call > 1 runs that many optimizer steps per device
+        # dispatch via lax.scan over stacked batches — a device-side training
+        # loop that amortizes host->device launch latency (the dominant cost
+        # for small models, especially on remote-device transports).
+        self.steps_per_call = int(steps_per_call)
         self._train_step = None
+        self._train_steps_scan = None
         self._predict_step = None
 
     # -- jitted steps -------------------------------------------------------
@@ -70,6 +76,21 @@ class CTRTrainer(JaxTrainer):
             params = apply_updates(state.params, updates, lr)
             return TrainState(params=params, batch_stats=new_bs, opt_state=opt_state, step=state.step + 1), loss
 
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_steps_scan(state: TrainState, xs, ys, ws, lr, rng):
+            """N optimizer steps in one dispatch: scan over stacked batches."""
+            n = ys.shape[0]
+            rngs = jax.random.split(rng, n)
+
+            def body(state, batch):
+                x, y, w, r = batch
+                (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, state.batch_stats, x, y, w, r)
+                updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+                params = apply_updates(state.params, updates, lr)
+                return TrainState(params=params, batch_stats=new_bs, opt_state=opt_state, step=state.step + 1), loss
+
+            return jax.lax.scan(body, state, (xs, ys, ws, rngs))
+
         @jax.jit
         def predict_step(params, batch_stats, x):
             out = model.apply({"params": params, "batch_stats": batch_stats}, x, training=False)
@@ -77,7 +98,7 @@ class CTRTrainer(JaxTrainer):
                 out = out[0]
             return jax.nn.sigmoid(out)
 
-        self._train_step, self._predict_step = train_step, predict_step
+        self._train_step, self._train_steps_scan, self._predict_step = train_step, train_steps_scan, predict_step
 
     def _ensure_ready(self, loader):
         if self.state is None:
@@ -90,16 +111,38 @@ class CTRTrainer(JaxTrainer):
     def train_one_epoch(self, data_loader, log_interval: int = 10, lr: Optional[float] = None) -> float:
         self._ensure_ready(data_loader)
         lr = self.lr0 if lr is None else lr
+        lr_dev = jnp.asarray(lr, jnp.float32)
         batch_size = data_loader.batch_size
         losses = []
-        for i, (x, y) in enumerate(data_loader):
-            x, y, w = pad_batch(x, y, batch_size)
-            x = self.place_batch({k: jnp.asarray(v) for k, v in x.items()})
-            y = jnp.asarray(y, dtype=jnp.float32)
-            rng = self.next_dropout_rng()
-            self.state, loss = self._train_step(self.state, x, y, jnp.asarray(w), jnp.asarray(lr, jnp.float32), rng)
-            losses.append(loss)
+        pending = []  # padded host batches awaiting a scan group
+
+        def flush():
+            if not pending:
+                return
+            if len(pending) == 1:
+                x, y, w = pending[0]
+                x = self.place_batch({k: jnp.asarray(v) for k, v in x.items()})
+                self.state, loss = self._train_step(self.state, x, jnp.asarray(y, jnp.float32), jnp.asarray(w), lr_dev, self.next_dropout_rng())
+                losses.append(loss)
+            else:
+                from ..parallel import mesh as mesh_lib
+
+                xs = {k: jnp.asarray(np.stack([b[0][k] for b in pending])) for k in pending[0][0]}
+                if self.mesh is not None:
+                    sharding = mesh_lib.scan_batch_sharding(self.mesh)
+                    xs = jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), xs)
+                ys = jnp.asarray(np.stack([b[1] for b in pending]), jnp.float32)
+                ws = jnp.asarray(np.stack([b[2] for b in pending]))
+                self.state, group_losses = self._train_steps_scan(self.state, xs, ys, ws, lr_dev, self.next_dropout_rng())
+                losses.append(jnp.mean(group_losses))
+            pending.clear()
             self.maybe_step_checkpoint()
+
+        for i, (x, y) in enumerate(data_loader):
+            pending.append(pad_batch(x, y, batch_size))
+            if len(pending) >= max(1, self.steps_per_call):
+                flush()
+        flush()
         if not losses:
             return 0.0
         return float(np.mean([to_numpy(l) for l in losses]))
