@@ -147,6 +147,7 @@ def main(argv=None) -> int:
     parser.add_argument("--config", required=True)
     parser.add_argument("--check-baseline", action="store_true")
     parser.add_argument("--baseline-file", default=None)
+    parser.add_argument("--profile", default=None, metavar="DIR", help="capture a jax.profiler trace of the run into DIR (view in TensorBoard)")
     args = parser.parse_args(argv)
 
     with open(args.config) as f:
@@ -155,7 +156,14 @@ def main(argv=None) -> int:
     output_dir = config.get("output_dir") or os.path.join("/tmp/bench_out", config.get("name", "run"))
     config["output_dir"] = output_dir
 
-    result = run_benchmark(config)
+    if args.profile:
+        from torch_rechub_tpu.utils.profiling import trace
+
+        with trace(args.profile):
+            result = run_benchmark(config)
+        print(f"profiler trace written to {args.profile} (view with TensorBoard)")
+    else:
+        result = run_benchmark(config)
 
     diffs = None
     if args.check_baseline:
