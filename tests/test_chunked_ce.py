@@ -86,3 +86,20 @@ def test_seq_trainer_chunked_path_trains_and_matches_dense_eval():
     # identical seeds → identical training trajectories regardless of CE path
     assert abs(ld - lc) < 1e-3
     assert hd == pytest.approx(hc, abs=1e-6)
+
+
+def test_seq_trainer_steps_per_call_matches_single():
+    """SeqTrainer device-side scan == per-step dispatch (dropout off)."""
+    toks, tds, targets = seq_batch(n=24, seed=5)
+    positions = np.tile(np.arange(L, dtype=np.int32), (24, 1))
+    model = HSTUModel(vocab_size=VOCAB, d_model=D, n_heads=2, n_layers=1, dqk=8, dv=8, max_seq_len=L, dropout=0.0, num_time_buckets=8)
+
+    def run(steps_per_call):
+        dg = SequenceDataGenerator(toks, positions, targets, tds)
+        (dl,) = dg.generate_dataloader(batch_size=8, shuffle=False)
+        t = SeqTrainer(model, n_epoch=1, model_path="/tmp/rechub_seq_spc", seed=0, steps_per_call=steps_per_call)
+        return [t.train_one_epoch(dl) for _ in range(2)]
+
+    # not bit-equal: XLA fuses the scan body differently than the standalone
+    # step and Adam amplifies the roundoff; trajectories must stay close
+    np.testing.assert_allclose(run(1), run(2), rtol=1e-2)

@@ -36,7 +36,7 @@ def next_token_loss(logits, seq_tokens, targets, temperature: float = 1.0, ignor
 
 
 class SeqTrainer(JaxTrainer):
-    def __init__(self, model, optimizer_params=None, scheduler_params=None, n_epoch=10, earlystop_patience=10, model_path="./", loss_type="cross_entropy", loss_params=None, model_logger=None, mesh=None, seed=0, vocab_chunk_size=None):
+    def __init__(self, model, optimizer_params=None, scheduler_params=None, n_epoch=10, earlystop_patience=10, model_path="./", loss_type="cross_entropy", loss_params=None, model_logger=None, mesh=None, seed=0, vocab_chunk_size=None, steps_per_call=1):
         super().__init__(model, optimizer_params, scheduler_params, n_epoch, earlystop_patience, model_path, mesh, seed, model_logger)
         self.loss_type = loss_type
         if loss_type == "nce":
@@ -47,8 +47,12 @@ class SeqTrainer(JaxTrainer):
         # model returns hidden states (return_hidden=True) and the CE is
         # accumulated over vocab chunks of this size (ops/chunked_ce.py).
         self.vocab_chunk_size = vocab_chunk_size
+        # device-side loop: run N optimizer steps per dispatch via lax.scan
+        # (launch-latency amortization, see CTRTrainer.steps_per_call)
+        self.steps_per_call = int(steps_per_call)
         self.early_stopper = EarlyStopper(patience=earlystop_patience)
         self._train_step = None
+        self._train_steps_scan = None
         self._eval_step = None
 
     def _build_steps(self):
@@ -79,6 +83,20 @@ class SeqTrainer(JaxTrainer):
             params = apply_updates(state.params, updates, lr)
             return TrainState(params=params, batch_stats=new_bs, opt_state=opt_state, step=state.step + 1), loss
 
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_steps_scan(state: TrainState, toks, tds, tgts, lr, rng):
+            """N optimizer steps in one dispatch (stacked (N, B, L) batches)."""
+            rngs = jax.random.split(rng, tgts.shape[0])
+
+            def body(state, batch):
+                seq_tokens, time_diffs, targets, r = batch
+                (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, state.batch_stats, seq_tokens, time_diffs, targets, r)
+                updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+                params = apply_updates(state.params, updates, lr)
+                return TrainState(params=params, batch_stats=new_bs, opt_state=opt_state, step=state.step + 1), loss
+
+            return jax.lax.scan(body, state, (toks, tds, tgts, rngs))
+
         @jax.jit
         def eval_step(params, batch_stats, seq_tokens, time_diffs, targets):
             variables = {"params": params, "batch_stats": batch_stats, **consts}
@@ -93,7 +111,7 @@ class SeqTrainer(JaxTrainer):
             preds = jnp.argmax(last, axis=-1)
             return loss, preds
 
-        self._train_step, self._eval_step = train_step, eval_step
+        self._train_step, self._train_steps_scan, self._eval_step = train_step, train_steps_scan, eval_step
 
     def init_state_from_batch(self, batch):
         seq_tokens, _pos, time_diffs, _targets = batch
@@ -118,18 +136,34 @@ class SeqTrainer(JaxTrainer):
     def train_one_epoch(self, data_loader, log_interval: int = 10, lr: Optional[float] = None) -> float:
         self._ensure_ready(data_loader)
         lr = self.lr0 if lr is None else lr
+        lr_dev = jnp.asarray(lr, jnp.float32)
+        batch_size = getattr(data_loader, "batch_size", None)
         losses = []
+        pending = []  # full-size host batches awaiting a scan group
+
+        def flush():
+            if not pending:
+                return
+            if len(pending) == 1:
+                toks, tds, tgts = pending[0]
+                self.state, loss = self._train_step(self.state, jnp.asarray(toks), jnp.asarray(tds), jnp.asarray(tgts), lr_dev, self.next_dropout_rng())
+                losses.append(loss)
+            else:
+                self.state, group = self._train_steps_scan(self.state, jnp.asarray(np.stack([b[0] for b in pending])), jnp.asarray(np.stack([b[1] for b in pending])), jnp.asarray(np.stack([b[2] for b in pending])), lr_dev, self.next_dropout_rng())
+                losses.append(jnp.mean(group))
+            pending.clear()
+
         for seq_tokens, _pos, time_diffs, targets in data_loader:
-            rng = self.next_dropout_rng()
-            self.state, loss = self._train_step(
-                self.state,
-                jnp.asarray(np.asarray(seq_tokens)),
-                jnp.asarray(np.asarray(time_diffs)),
-                jnp.asarray(np.asarray(targets)).reshape(-1),
-                jnp.asarray(lr, jnp.float32),
-                rng,
-            )
-            losses.append(loss)
+            batch = (np.asarray(seq_tokens), np.asarray(time_diffs), np.asarray(targets).reshape(-1))
+            if self.steps_per_call > 1 and (batch_size is None or len(batch[2]) == batch_size):
+                pending.append(batch)
+                if len(pending) >= self.steps_per_call:
+                    flush()
+            else:
+                flush()  # keep step order before dispatching the odd-size batch
+                self.state, loss = self._train_step(self.state, jnp.asarray(batch[0]), jnp.asarray(batch[1]), jnp.asarray(batch[2]), lr_dev, self.next_dropout_rng())
+                losses.append(loss)
+        flush()
         return float(np.mean([to_numpy(l) for l in losses])) if losses else 0.0
 
     def fit(self, train_dataloader, val_dataloader=None):
