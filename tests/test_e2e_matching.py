@@ -161,3 +161,18 @@ def test_inbatch_sampling_exact():
     for seed in range(3):
         idx = inbatch_negative_sampling(scores, neg_ratio=3, rng=jax.random.PRNGKey(seed))
         assert not np.any(np.asarray(idx) == np.arange(4)[:, None])
+
+
+def test_match_trainer_steps_per_call_trajectory():
+    """Device-side scan path == per-step dispatch for mode-0 training."""
+    x_train, y, _ = prepare(mode=0)
+    user, item, _ = user_item_features()
+
+    def run(steps_per_call):
+        model = matching.DSSM(user_features=user, item_features=item, user_params={"dims": (16, D)}, item_params={"dims": (16, D)})
+        tr = MatchTrainer(model, mode=0, n_epoch=1, model_path="/tmp/rechub_match_spc", seed=0, steps_per_call=steps_per_call)
+        dl = ArrayLoader(x_train, y, batch_size=64, shuffle=False)
+        return [tr.train_one_epoch(dl) for _ in range(2)]
+
+    # scan-fused vs standalone step: same math, roundoff-level divergence only
+    np.testing.assert_allclose(run(1), run(3), rtol=1e-2)

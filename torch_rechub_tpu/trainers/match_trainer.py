@@ -35,7 +35,7 @@ from .base import JaxTrainer, TrainState, apply_updates, load_checkpoint, to_num
 class MatchTrainer(JaxTrainer):
     """General matching/retrieval trainer (modes 0/1/2 + in-batch negatives)."""
 
-    def __init__(self, model, mode=0, in_batch_neg=False, in_batch_neg_ratio=None, hard_negative=False, sampler_seed=None, optimizer_params=None, regularization_params=None, scheduler_params=None, n_epoch=10, earlystop_patience=10, model_path="./", model_logger=None, mesh=None, seed=0):
+    def __init__(self, model, mode=0, in_batch_neg=False, in_batch_neg_ratio=None, hard_negative=False, sampler_seed=None, optimizer_params=None, regularization_params=None, scheduler_params=None, n_epoch=10, earlystop_patience=10, model_path="./", model_logger=None, mesh=None, seed=0, steps_per_call=1):
         super().__init__(model, optimizer_params, scheduler_params, n_epoch, earlystop_patience, model_path, mesh, seed, model_logger)
         if mode not in (0, 1, 2):
             raise ValueError(f"mode only contain value in [0, 1, 2], but got {mode}")
@@ -46,7 +46,11 @@ class MatchTrainer(JaxTrainer):
         self.sampler_seed = sampler_seed if sampler_seed is not None else seed
         self.reg_loss_fn = RegularizationLoss(**(regularization_params or {}))
         self.early_stopper = EarlyStopper(patience=earlystop_patience)
+        # device-side loop: N optimizer steps per dispatch via lax.scan
+        # (launch-latency amortization, see CTRTrainer.steps_per_call)
+        self.steps_per_call = int(steps_per_call)
         self._train_step = None
+        self._train_steps_scan = None
         self._predict_step = None
         self._tower_steps = {}
 
@@ -92,11 +96,27 @@ class MatchTrainer(JaxTrainer):
             params = apply_updates(state.params, updates, lr)
             return TrainState(params=params, batch_stats=new_bs, opt_state=opt_state, step=state.step + 1), loss
 
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_steps_scan(state: TrainState, xs, ys, ws, lr, rng, sample_rng):
+            """N optimizer steps in one dispatch (stacked (N, B, ...) batches)."""
+            n = ys.shape[0]
+            rngs = jax.random.split(rng, n)
+            sample_rngs = jax.vmap(lambda i: jax.random.fold_in(sample_rng, i))(jnp.arange(n))
+
+            def body(state, batch):
+                x, y, w, r, sr = batch
+                (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, state.batch_stats, x, y, w, r, sr)
+                updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+                params = apply_updates(state.params, updates, lr)
+                return TrainState(params=params, batch_stats=new_bs, opt_state=opt_state, step=state.step + 1), loss
+
+            return jax.lax.scan(body, state, (xs, ys, ws, rngs, sample_rngs))
+
         @jax.jit
         def predict_step(params, batch_stats, x):
             return model.apply({"params": params, "batch_stats": batch_stats}, x, training=False)
 
-        self._train_step, self._predict_step = train_step, predict_step
+        self._train_step, self._train_steps_scan, self._predict_step = train_step, train_steps_scan, predict_step
 
         for tower in ("user", "item"):
 
@@ -118,17 +138,40 @@ class MatchTrainer(JaxTrainer):
     def train_one_epoch(self, data_loader, log_interval: int = 10, lr: Optional[float] = None) -> float:
         self._ensure_ready(data_loader)
         lr = self.lr0 if lr is None else lr
+        lr_dev = jnp.asarray(lr, jnp.float32)
         batch_size = data_loader.batch_size
         losses = []
         sampler_key = jax.random.PRNGKey(self.sampler_seed)
+        pending = []
+
+        def flush():
+            if not pending:
+                return
+            if len(pending) == 1:
+                x, y, w = pending[0]
+                x = self.place_batch({k: jnp.asarray(v) for k, v in x.items()})
+                sample_rng = jax.random.fold_in(sampler_key, int(self.state.step))
+                self.state, loss = self._train_step(self.state, x, jnp.asarray(y), jnp.asarray(w), lr_dev, self.next_dropout_rng(), sample_rng)
+                losses.append(loss)
+            else:
+                from ..parallel import mesh as mesh_lib
+
+                xs = {k: jnp.asarray(np.stack([b[0][k] for b in pending])) for k in pending[0][0]}
+                if self.mesh is not None:
+                    sharding = mesh_lib.scan_batch_sharding(self.mesh)
+                    xs = jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), xs)
+                ys = jnp.asarray(np.stack([b[1] for b in pending]))
+                ws = jnp.asarray(np.stack([b[2] for b in pending]))
+                sample_rng = jax.random.fold_in(sampler_key, int(self.state.step))
+                self.state, group = self._train_steps_scan(self.state, xs, ys, ws, lr_dev, self.next_dropout_rng(), sample_rng)
+                losses.append(jnp.mean(group))
+            pending.clear()
+
         for i, (x, y) in enumerate(data_loader):
-            x, y, w = pad_batch(x, y, batch_size)
-            x = self.place_batch({k: jnp.asarray(v) for k, v in x.items()})
-            y = jnp.asarray(y)
-            rng = self.next_dropout_rng()
-            sample_rng = jax.random.fold_in(sampler_key, int(self.state.step))
-            self.state, loss = self._train_step(self.state, x, y, jnp.asarray(w), jnp.asarray(lr, jnp.float32), rng, sample_rng)
-            losses.append(loss)
+            pending.append(pad_batch(x, y, batch_size))
+            if len(pending) >= max(1, self.steps_per_call):
+                flush()
+        flush()
         return float(np.mean([to_numpy(l) for l in losses])) if losses else 0.0
 
     def fit(self, train_dataloader, val_dataloader=None, log_interval: int = 10):
