@@ -1,5 +1,6 @@
 """End-to-end multi-task tests: all 5 models x adaptive methods."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -86,3 +87,24 @@ def test_shared_task_mask_classification():
     assert not is_shared_path("['towers_0']['Dense_0']['kernel']")
     assert not is_shared_path("['gates_1']['Dense_0']['kernel']")
     assert not is_shared_path("['aits_0']['q_layer']['kernel']")
+
+
+@pytest.mark.parametrize("method", [None, "uwl", "metabalance"])
+def test_steps_per_call_matches_single_step(method):
+    """MTLTrainer(steps_per_call=N) is numerically equivalent to N single steps."""
+    x, ys = mtl_data(n=128)
+    adaptive = {"method": method} if method else None
+
+    results = []
+    for spc in (1, 4):
+        model = build("MMOE")
+        trainer = MTLTrainer(model, TASK_TYPES, adaptive_params=adaptive, n_epoch=1, model_path="/tmp/rechub_mtl_spc", seed=7, steps_per_call=spc)
+        dl = ArrayLoader(x, ys, batch_size=32, shuffle=False)
+        trainer.train_one_epoch(dl)
+        results.append(jax.device_get(trainer.state.params))
+
+    a, b = results
+    flat_a = jax.tree_util.tree_leaves(a)
+    flat_b = jax.tree_util.tree_leaves(b)
+    for la, lb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(la, lb, rtol=2e-4, atol=2e-5)

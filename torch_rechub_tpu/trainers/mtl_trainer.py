@@ -63,8 +63,11 @@ def _task_loss(pred, y, task_type, weight):
 
 
 class MTLTrainer(JaxTrainer):
-    def __init__(self, model, task_types, optimizer_params=None, regularization_params=None, scheduler_params=None, adaptive_params=None, n_epoch=10, earlystop_taskid=0, earlystop_patience=10, model_path="./", model_logger=None, mesh=None, seed=0):
+    def __init__(self, model, task_types, optimizer_params=None, regularization_params=None, scheduler_params=None, adaptive_params=None, n_epoch=10, earlystop_taskid=0, earlystop_patience=10, model_path="./", model_logger=None, mesh=None, seed=0, steps_per_call=1):
         super().__init__(model, optimizer_params, scheduler_params, n_epoch, earlystop_patience, model_path, mesh, seed, model_logger)
+        # steps_per_call > 1 runs that many optimizer steps per device
+        # dispatch via lax.scan over stacked batches (see CTRTrainer).
+        self.steps_per_call = int(steps_per_call)
         self.task_types = tuple(task_types)
         self.n_task = len(task_types)
         self.earlystop_taskid = earlystop_taskid
@@ -83,6 +86,7 @@ class MTLTrainer(JaxTrainer):
         self.is_esmm = isinstance(model, ESMM)
         self.state: Optional[MTLTrainState] = None
         self._train_step = None
+        self._train_steps_scan = None
         self._predict_step = None
         self.loss_weight_history = []
 
@@ -146,8 +150,7 @@ class MTLTrainer(JaxTrainer):
             candidates = [jax.tree_util.keystr(p) for (p, leaf), m in zip(flat, mflat) if m and leaf.ndim == 2]
             return sorted(candidates)[-1] if candidates else None
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def train_step(state: MTLTrainState, x, ys, w, lr, rng):
+        def step_body(state: MTLTrainState, x, ys, w, lr, rng):
             def total_loss_fn(trainable, batch_stats):
                 loss_list, new_bs = forward_losses(trainable["model"], batch_stats, x, ys, w, rng)
                 loss = aggregate(loss_list, trainable.get("loss_weight"))
@@ -205,11 +208,24 @@ class MTLTrainer(JaxTrainer):
                 loss_weight = loss_weight * (n_task / jnp.maximum(jnp.sum(loss_weight), 1e-12))
             return state.replace(params=new_trainable["model"], loss_weight=loss_weight, batch_stats=new_bs, opt_state=opt_state, step=state.step + 1, initial_task_loss=initial), loss_list
 
+        train_step = partial(jax.jit, donate_argnums=(0,))(step_body)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_steps_scan(state: MTLTrainState, xs, yss, ws, lr, rng):
+            """N optimizer steps in one dispatch: scan over stacked batches."""
+            rngs = jax.random.split(rng, yss.shape[0])
+
+            def body(state, batch):
+                x, ys_b, w_b, r = batch
+                return step_body(state, x, ys_b, w_b, lr, r)
+
+            return jax.lax.scan(body, state, (xs, yss, ws, rngs))
+
         @jax.jit
         def predict_step(params, batch_stats, x):
             return model.apply({"params": params, "batch_stats": batch_stats}, x, training=False)
 
-        self._train_step, self._predict_step = train_step, predict_step
+        self._train_step, self._train_steps_scan, self._predict_step = train_step, train_steps_scan, predict_step
 
     def _ensure_ready(self, loader):
         if self.state is None:
@@ -234,15 +250,40 @@ class MTLTrainer(JaxTrainer):
         self._ensure_ready(data_loader)
         lr = self.lr0 if lr is None else lr
         batch_size = data_loader.batch_size
+        lr_dev = jnp.asarray(lr, jnp.float32)
         totals = np.zeros(self.n_task)
         n = 0
+        pending = []  # padded host batches awaiting a scan group
+
+        def flush():
+            nonlocal n, totals
+            if not pending:
+                return
+            if len(pending) == 1:
+                x, ys, w = pending[0]
+                x = self.place_batch({k: jnp.asarray(v) for k, v in x.items()})
+                self.state, loss_list = self._train_step(self.state, x, jnp.asarray(ys), jnp.asarray(w), lr_dev, self.next_dropout_rng())
+                totals += to_numpy(loss_list)
+                n += 1
+            else:
+                from ..parallel import mesh as mesh_lib
+
+                xs = {k: jnp.asarray(np.stack([b[0][k] for b in pending])) for k in pending[0][0]}
+                if self.mesh is not None:
+                    sharding = mesh_lib.scan_batch_sharding(self.mesh)
+                    xs = jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), xs)
+                yss = jnp.asarray(np.stack([b[1] for b in pending]))
+                ws = jnp.asarray(np.stack([b[2] for b in pending]))
+                self.state, group_losses = self._train_steps_scan(self.state, xs, yss, ws, lr_dev, self.next_dropout_rng())
+                totals += to_numpy(jnp.sum(group_losses, axis=0))
+                n += len(pending)
+            pending.clear()
+
         for x, ys in data_loader:
-            x, ys, w = pad_batch(x, ys, batch_size)
-            x = self.place_batch({k: jnp.asarray(v) for k, v in x.items()})
-            rng = self.next_dropout_rng()
-            self.state, loss_list = self._train_step(self.state, x, jnp.asarray(ys), jnp.asarray(w), jnp.asarray(lr, jnp.float32), rng)
-            totals += to_numpy(loss_list)
-            n += 1
+            pending.append(pad_batch(x, ys, batch_size))
+            if len(pending) >= max(1, self.steps_per_call):
+                flush()
+        flush()
         loss_avg = (totals / max(n, 1)).tolist()
         print("train loss: ", {f"task_{i}:": loss_avg[i] for i in range(self.n_task)})
         if self.state.loss_weight is not None:
