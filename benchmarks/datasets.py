@@ -143,8 +143,134 @@ def build_census_multitask_dataset(seed: int = 2022, n: int = 2000, embed_dim: i
     )
 
 
+def build_avazu_ranking_dataset(seed: int = 2022, n: int = 2000, embed_dim: int = 16, dataset_path: str = None):
+    """Avazu-shaped: columns ``f0..f23`` (first 3 numeric, rest categorical),
+    binary ``label``.  Mirrors the reference preprocessing
+    (``examples/ranking/run_avazu.py``): dense filled with 0 and min-max
+    scaled, each dense column additionally discretized into a ``*_cat``
+    sparse twin (``log(x)^2`` bucket above 2), sparse label-encoded.
+    """
+    csv = dataset_path or os.path.join(DATA_DIR, "avazu", "avazu_sample.csv")
+    rng = np.random.default_rng(seed)
+    if os.path.exists(csv):
+        import pandas as pd
+
+        df = pd.read_csv(csv)
+        feat_cols = [c for c in df.columns if c.startswith("f")]
+        dense_cols, sparse_cols = feat_cols[:3], list(feat_cols[3:])
+        df[sparse_cols] = df[sparse_cols].fillna("-996")
+        df[dense_cols] = df[dense_cols].apply(pd.to_numeric, errors="coerce").fillna(0)
+        for c in dense_cols:
+            v = df[c].to_numpy(np.float64)
+            df[c + "_cat"] = np.where(v > 2, (np.log(np.maximum(v, 1e-12)) ** 2).astype(np.int64), np.maximum(v, 0).astype(np.int64))
+            sparse_cols.append(c + "_cat")
+            lo, hi = v.min(), v.max()
+            df[c] = (v - lo) / (hi - lo) if hi > lo else 0.0
+        for c in sparse_cols:
+            df[c] = df[c].astype("category").cat.codes
+        y = df["label"].to_numpy(np.float32)
+        x = {c: df[c].to_numpy(np.int32) for c in sparse_cols}
+        x.update({c: df[c].to_numpy(np.float32) for c in dense_cols})
+        vocab = {c: int(df[c].max()) + 1 for c in sparse_cols}
+    else:
+        dense_cols = [f"f{i}" for i in range(3)]
+        sparse_cols = [f"f{i}" for i in range(3, 24)] + [f"f{i}_cat" for i in range(3)]
+        vocab = {c: 50 for c in sparse_cols}
+        x = {c: rng.integers(0, 50, n).astype(np.int32) for c in sparse_cols}
+        x.update({c: rng.random(n).astype(np.float32) for c in dense_cols})
+        logit = (x["f3"] % 2) * 1.2 + x["f0"] * 0.8 - 0.9
+        y = (rng.random(n) < 1 / (1 + np.exp(-logit))).astype(np.float32)
+    features = tuple(SparseFeature(c, vocab_size=vocab[c], embed_dim=embed_dim) for c in sparse_cols) + tuple(DenseFeature(c) for c in dense_cols)
+    split = int(len(y) * 0.8)
+    return RankingDatasetBundle(features, {k: v[:split] for k, v in x.items()}, y[:split], {k: v[split:] for k, v in x.items()}, y[split:])
+
+
+_ALICCP_DENSE = ("D109_14", "D110_14", "D127_14", "D150_14", "D508", "D509", "D702", "D853")
+
+
+def _aliccp_frame(seed: int, n: int, dataset_path: str = None):
+    """Load an Ali-CCP sample CSV (columns: sparse ids + D* dense + click/purchase)
+    or synthesize one with the same schema."""
+    csv = dataset_path or os.path.join(DATA_DIR, "ali_ccp", "ali_ccp_sample.csv")
+    rng = np.random.default_rng(seed)
+    if os.path.exists(csv):
+        import pandas as pd
+
+        df = pd.read_csv(csv)
+        dense_cols = [c for c in df.columns if c in _ALICCP_DENSE]
+        sparse_cols = [c for c in df.columns if c not in dense_cols and c not in ("click", "purchase")]
+        x = {c: df[c].to_numpy(np.int32) for c in sparse_cols}
+        x.update({c: df[c].to_numpy(np.float32) for c in dense_cols})
+        vocab = {c: int(df[c].max()) + 1 for c in sparse_cols}
+        click = df["click"].to_numpy(np.float32)
+        purchase = df["purchase"].to_numpy(np.float32)
+    else:
+        sparse_cols = [f"{101 + i}" for i in range(10)]
+        dense_cols = list(_ALICCP_DENSE)
+        vocab = {c: 60 for c in sparse_cols}
+        x = {c: rng.integers(0, 60, n).astype(np.int32) for c in sparse_cols}
+        x.update({c: rng.normal(size=n).astype(np.float32) for c in dense_cols})
+        l_click = (x["101"] % 3 == 0) * 1.4 + x["D508"] * 0.5 - 0.6
+        click = (rng.random(n) < 1 / (1 + np.exp(-l_click))).astype(np.float32)
+        l_buy = (x["102"] % 2) * 1.1 + x["D509"] * 0.4 - 1.2
+        purchase = (click * (rng.random(n) < 1 / (1 + np.exp(-l_buy)))).astype(np.float32)
+    return sparse_cols, dense_cols, vocab, x, click, purchase
+
+
+def build_aliccp_ctr_dataset(seed: int = 2022, n: int = 2000, embed_dim: int = 16, dataset_path: str = None):
+    """Ali-CCP CTR ranking: label = click (reference ``run_ali_ccp_ctr_ranking.py``)."""
+    sparse_cols, dense_cols, vocab, x, click, _ = _aliccp_frame(seed, n, dataset_path)
+    features = tuple(SparseFeature(c, vocab_size=vocab[c], embed_dim=embed_dim) for c in sparse_cols) + tuple(DenseFeature(c) for c in dense_cols)
+    split = int(len(click) * 0.8)
+    return RankingDatasetBundle(features, {k: v[:split] for k, v in x.items()}, click[:split], {k: v[split:] for k, v in x.items()}, click[split:])
+
+
+def build_aliccp_multitask_dataset(seed: int = 2022, n: int = 2000, embed_dim: int = 16, dataset_path: str = None):
+    """Ali-CCP MTL: tasks (cvr=purchase, ctr=click) — reference ``run_ali_ccp_multi_task.py``."""
+    sparse_cols, dense_cols, vocab, x, click, purchase = _aliccp_frame(seed, n, dataset_path)
+    features = tuple(SparseFeature(c, vocab_size=vocab[c], embed_dim=embed_dim) for c in sparse_cols) + tuple(DenseFeature(c) for c in dense_cols)
+    y = np.stack([purchase, click], axis=1)  # [cvr, ctr] — reference task order
+    split = int(len(click) * 0.8)
+    return MultiTaskDatasetBundle(features, ("classification", "classification"), {k: v[:split] for k, v in x.items()}, y[:split], {k: v[split:] for k, v in x.items()}, y[split:])
+
+
+def build_aliexpress_multitask_dataset(seed: int = 2022, n: int = 2000, embed_dim: int = 5, dataset_path: str = None):
+    """AliExpress-shaped MTL: ``categorical_*``/``numerical_*`` columns,
+    tasks (conversion, click) — reference ``run_aliexpress.py``."""
+    csv = dataset_path or os.path.join(DATA_DIR, "aliexpress", "aliexpress_sample.csv")
+    rng = np.random.default_rng(seed)
+    if os.path.exists(csv):
+        import pandas as pd
+
+        df = pd.read_csv(csv)
+        sparse_cols = [c for c in df.columns if c.startswith("categorical")]
+        dense_cols = [c for c in df.columns if c.startswith("numerical")]
+        x = {c: df[c].to_numpy(np.int32) for c in sparse_cols}
+        x.update({c: df[c].to_numpy(np.float32) for c in dense_cols})
+        vocab = {c: int(df[c].max()) + 1 for c in sparse_cols}
+        y = df[["conversion", "click"]].to_numpy(np.float32)
+    else:
+        sparse_cols = [f"categorical_{i}" for i in range(16)]
+        dense_cols = [f"numerical_{i}" for i in range(8)]
+        vocab = {c: 30 for c in sparse_cols}
+        x = {c: rng.integers(0, 30, n).astype(np.int32) for c in sparse_cols}
+        x.update({c: rng.normal(size=n).astype(np.float32) for c in dense_cols})
+        l_click = (x["categorical_0"] % 2) * 1.3 + x["numerical_0"] * 0.5 - 0.5
+        click = (rng.random(n) < 1 / (1 + np.exp(-l_click))).astype(np.float32)
+        l_conv = (x["categorical_1"] % 3 == 0) * 1.2 + x["numerical_1"] * 0.4 - 1.0
+        conversion = (click * (rng.random(n) < 1 / (1 + np.exp(-l_conv)))).astype(np.float32)
+        y = np.stack([conversion, click], axis=1)
+    features = tuple(SparseFeature(c, vocab_size=vocab[c], embed_dim=embed_dim) for c in sparse_cols) + tuple(DenseFeature(c) for c in dense_cols)
+    split = int(len(y) * 0.8)
+    return MultiTaskDatasetBundle(features, ("classification", "classification"), {k: v[:split] for k, v in x.items()}, y[:split], {k: v[split:] for k, v in x.items()}, y[split:])
+
+
 DATASETS = {
     "criteo-sample": build_criteo_ranking_dataset,
     "ml-1m-sample": build_ml1m_matching_dataset,
     "census-income-sample": build_census_multitask_dataset,
+    "avazu-sample": build_avazu_ranking_dataset,
+    "ali-ccp-ctr-sample": build_aliccp_ctr_dataset,
+    "ali-ccp-mtl-sample": build_aliccp_multitask_dataset,
+    "aliexpress-sample": build_aliexpress_multitask_dataset,
 }

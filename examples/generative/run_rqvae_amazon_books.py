@@ -1,0 +1,21 @@
+"""RQ-VAE semantic-ID training on Amazon-Books-shaped item embeddings (reference ``run_rqvae_amazon_books.py``): RQ-VAE stage only (tiger_steps=0)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from examples.generative import run_rqvae_tiger
+
+
+def main():
+    presets = "--n_items=500 --tiger_steps=0".split()
+    for p in presets:
+        key = p.split("=")[0]
+        if not any(a.startswith(key) for a in sys.argv[1:]):
+            sys.argv.insert(1, p)
+    run_rqvae_tiger.main()
+
+
+if __name__ == "__main__":
+    main()

@@ -73,7 +73,10 @@ def main():
         if (it + 1) % 50 == 0:
             print(f"step {it+1} loss {float(loss):.4f}")
 
-    # stage 3: trie-constrained generation + recall
+    # stage 3: trie-constrained generation + recall (skipped for the
+    # RQ-VAE-only preset, tiger_steps=0)
+    if args.tiger_steps == 0:
+        return
     trie = Trie([toks + [1] for toks in item_tokens.values()])
     Xt = pad_sequences(te_in, maxlen=max_in, padding="post")[:50]
     out = generate(model, {"params": params}, Xt, max_new_tokens=3, num_beams=5, trie=trie, eos_token_id=1)
