@@ -162,7 +162,7 @@ def build_avazu_ranking_dataset(seed: int = 2022, n: int = 2000, embed_dim: int 
         df[dense_cols] = df[dense_cols].apply(pd.to_numeric, errors="coerce").fillna(0)
         for c in dense_cols:
             v = df[c].to_numpy(np.float64)
-            df[c + "_cat"] = np.where(v > 2, (np.log(np.maximum(v, 1e-12)) ** 2).astype(np.int64), np.maximum(v, 0).astype(np.int64))
+            df[c + "_cat"] = np.where(v > 2, (np.log(np.maximum(v, 1e-12)) ** 2).astype(np.int64), v.astype(np.int64) - 2)
             sparse_cols.append(c + "_cat")
             lo, hi = v.min(), v.max()
             df[c] = (v - lo) / (hi - lo) if hi > lo else 0.0

@@ -12,7 +12,7 @@ def main():
     presets = "--vocab=2000 --seq_len=32 --vocab_chunk_size=500".split()
     for p in presets:
         key = p.split("=")[0]
-        if not any(a.startswith(key) for a in sys.argv[1:]):
+        if not any(a == key or a.startswith(key + "=") for a in sys.argv[1:]):
             sys.argv.insert(1, p)
     run_hllm.main()
 

@@ -12,7 +12,7 @@ def main():
     presets = "--n_items=500 --tiger_steps=0".split()
     for p in presets:
         key = p.split("=")[0]
-        if not any(a.startswith(key) for a in sys.argv[1:]):
+        if not any(a == key or a.startswith(key + "=") for a in sys.argv[1:]):
             sys.argv.insert(1, p)
     run_rqvae_tiger.main()
 

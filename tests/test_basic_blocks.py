@@ -32,7 +32,7 @@ def test_embedding_collection_shapes():
         SequenceFeature("hist", 50, embed_dim=8, pooling="mean", shared_with="cat", padding_idx=0),
         DenseFeature("price"),
     )
-    coll = EmbeddingCollection(features=feats)
+    coll = EmbeddingCollection(features=feats, fused=False)
     x = {
         "cat": jnp.array([1, 2, 3]),
         "cat_shared": jnp.array([1, 2, 3]),
@@ -51,7 +51,7 @@ def test_embedding_collection_shapes():
 def test_embedding_padding_semantics():
     """padding_idx rows read as zero and receive no gradient."""
     feats = (SequenceFeature("hist", 10, embed_dim=4, pooling="sum", padding_idx=0),)
-    coll = EmbeddingCollection(features=feats)
+    coll = EmbeddingCollection(features=feats, fused=False)
     x = {"hist": jnp.array([[1, 0, 0]])}
     variables = coll.init(jax.random.PRNGKey(0), x, feats)
     table = variables["params"]["hist_table"]
@@ -68,7 +68,7 @@ def test_embedding_padding_semantics():
 
 def test_mean_pooling_matches_manual():
     feats = (SequenceFeature("hist", 10, embed_dim=4, pooling="mean", padding_idx=0),)
-    coll = EmbeddingCollection(features=feats)
+    coll = EmbeddingCollection(features=feats, fused=False)
     x = {"hist": jnp.array([[1, 2, 0, 0]])}
     variables = coll.init(jax.random.PRNGKey(0), x, feats)
     table = np.asarray(variables["params"]["hist_table"])

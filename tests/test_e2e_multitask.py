@@ -89,7 +89,7 @@ def test_shared_task_mask_classification():
     assert not is_shared_path("['aits_0']['q_layer']['kernel']")
 
 
-@pytest.mark.parametrize("method", [None, "uwl", "metabalance"])
+@pytest.mark.parametrize("method", [None, "uwl", "gradnorm", "metabalance"])
 def test_steps_per_call_matches_single_step(method):
     """MTLTrainer(steps_per_call=N) is numerically equivalent to N single steps."""
     x, ys = mtl_data(n=128)
@@ -101,10 +101,12 @@ def test_steps_per_call_matches_single_step(method):
         trainer = MTLTrainer(model, TASK_TYPES, adaptive_params=adaptive, n_epoch=1, model_path="/tmp/rechub_mtl_spc", seed=7, steps_per_call=spc)
         dl = ArrayLoader(x, ys, batch_size=32, shuffle=False)
         trainer.train_one_epoch(dl)
-        results.append(jax.device_get(trainer.state.params))
+        results.append((jax.device_get(trainer.state.params), jax.device_get(getattr(trainer.state, "loss_weight", None))))
 
-    a, b = results
+    (a, lw_a), (b, lw_b) = results
     flat_a = jax.tree_util.tree_leaves(a)
     flat_b = jax.tree_util.tree_leaves(b)
     for la, lb in zip(flat_a, flat_b):
         np.testing.assert_allclose(la, lb, rtol=2e-4, atol=2e-5)
+    if lw_a is not None and lw_b is not None:
+        np.testing.assert_allclose(lw_a, lw_b, rtol=2e-4, atol=2e-5)

@@ -74,12 +74,18 @@ def test_embedding_tables_actually_sharded():
     model = build_model()
     trainer = CTRTrainer(model, n_epoch=1, model_path="/tmp/rechub_shard", mesh=mesh)
     trainer._ensure_ready(ArrayLoader(x, y, batch_size=64))
-    sharded = [
-        jax.tree_util.keystr(p)
+    tables = [
+        (jax.tree_util.keystr(p), leaf)
         for p, leaf in jax.tree_util.tree_flatten_with_path(trainer.state.params)[0]
-        if "_table" in jax.tree_util.keystr(p) and not leaf.sharding.is_fully_replicated
+        if "_table" in jax.tree_util.keystr(p)
     ]
-    assert len(sharded) == 4, f"expected 4 row-sharded tables, got {sharded}"
+    # fused layout: all 4 feature tables live in one fused param; every
+    # table param must be row-sharded over the model axis
+    assert tables, "no embedding tables found"
+    for name, leaf in tables:
+        assert not leaf.sharding.is_fully_replicated, f"{name} stayed replicated"
+    total_rows = sum(leaf.shape[0] for _, leaf in tables)
+    assert total_rows >= 4 * VOCAB
 
 
 def test_brute_force_topk_sharded_matches():

@@ -7,6 +7,14 @@ group (``shared_with`` resolved at schema level), lookups as XLA gathers
 sum/mean pooling for sequence features, dense passthrough, and the same
 ``squeeze_dim`` flattening contract.
 
+Fused mode (the default): all tables with the same embed_dim are stored as
+ONE ``(ΣV, D)`` parameter and a batch's ids for every feature of that width
+are gathered in ONE ``jnp.take`` — 26 Criteo tables become a single gather
+(and the backward a single scatter-add) instead of 26, which is how TPU
+embedding engines batch tables.  Rows are padded to a multiple of 64 so the
+fused table always row-shards over the ``model`` mesh axis, fixing the
+"indivisible vocab stays replicated" gap of the per-feature layout.
+
 Padding semantics: torch's ``nn.Embedding(padding_idx=k)`` keeps row ``k`` at
 zero by zeroing its gradient.  Here the lookup multiplies the gathered row by
 ``(ids != padding_idx)`` — identical forward output AND identical gradient
@@ -14,17 +22,32 @@ zero by zeroing its gradient.  Here the lookup multiplies the gathered row by
 
 Sharding: tables are plain 2-D params; ``parallel.mesh.param_shardings`` row-
 shards large tables over the ``model`` mesh axis, and XLA turns the gather
-into an all-gather/all-to-all pattern over ICI automatically under jit.
+into a masked-local-gather + all-reduce pattern over ICI under jit.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..basic.features import DenseFeature, Feature, SequenceFeature, SparseFeature, table_name
+
+# Global default for EmbeddingCollection.fused when the module doesn't choose.
+_FUSED_DEFAULT = [True]
+
+# Fused tables pad ΣV up to a multiple of this so they row-shard over any
+# model axis up to 64 (padded rows are never addressed; grads to them are 0).
+_FUSED_ROW_MULTIPLE = 64
+
+
+def set_fused_default(value: bool) -> bool:
+    """Set the process-wide default for fused embedding storage; returns old."""
+    old = _FUSED_DEFAULT[0]
+    _FUSED_DEFAULT[0] = bool(value)
+    return old
 
 
 def feature_mask(x, feature):
@@ -59,12 +82,15 @@ class EmbeddingCollection(nn.Module):
         features: every feature this collection may serve.  Sparse/sequence
             features without ``shared_with`` own a table; shared features
             resolve to their owner's table.
+        fused: store same-width tables as one fused ``(ΣV, D)`` param and
+            batch all their gathers per call.  ``None`` → process default
+            (see :func:`set_fused_default`).
     """
 
     features: Tuple[Feature, ...]
+    fused: Optional[bool] = None
 
     def setup(self):
-        tables = {}
         specs = {}
         for fea in self.features:
             if isinstance(fea, DenseFeature):
@@ -73,28 +99,109 @@ class EmbeddingCollection(nn.Module):
             if getattr(fea, "shared_with", None) is not None or owner in specs:
                 continue
             specs[owner] = fea
-        for owner, fea in specs.items():
-            init = fea.initializer
+        self._specs = specs
+        self._use_fused = self.fused if self.fused is not None else _FUSED_DEFAULT[0]
 
-            def init_fn(key, shape, dtype=jnp.float32, _init=init, _fea=fea):
-                w = _init(key, shape, dtype)
-                if _fea.padding_idx is not None:
-                    w = w.at[_fea.padding_idx].set(0.0)
+        if not self._use_fused:
+            tables = {}
+            for owner, fea in specs.items():
+                init = fea.initializer
+
+                def init_fn(key, shape, dtype=jnp.float32, _init=init, _fea=fea):
+                    w = _init(key, shape, dtype)
+                    if _fea.padding_idx is not None:
+                        w = w.at[_fea.padding_idx].set(0.0)
+                    return w
+
+                tables[owner] = self.param(f"{owner}_table", init_fn, (fea.vocab_size, fea.embed_dim))
+            self.tables = tables
+            self._layout = None
+            return
+
+        # Fused: group owners by embed_dim, one (ΣV padded, D) param per group.
+        groups = {}
+        for owner, fea in specs.items():
+            groups.setdefault(fea.embed_dim, []).append((owner, fea))
+        layout = {}  # owner -> (dim, row_offset)
+        fused = {}
+        for dim, members in groups.items():
+            offset = 0
+            offsets = []
+            for owner, fea in members:
+                layout[owner] = (dim, offset)
+                offsets.append(offset)
+                offset += fea.vocab_size
+            total = offset
+            padded = -(-total // _FUSED_ROW_MULTIPLE) * _FUSED_ROW_MULTIPLE
+
+            def init_fn(key, shape, dtype=jnp.float32, _members=tuple(members), _offsets=tuple(offsets), _total=total):
+                w = jnp.zeros(shape, dtype)
+                for i, ((owner, fea), off) in enumerate(zip(_members, _offsets)):
+                    seg = fea.initializer(jax.random.fold_in(key, i), (fea.vocab_size, shape[1]), dtype)
+                    if fea.padding_idx is not None:
+                        seg = seg.at[fea.padding_idx].set(0.0)
+                    w = jax.lax.dynamic_update_slice(w, seg, (off, 0))
                 return w
 
-            tables[owner] = self.param(f"{owner}_table", init_fn, (fea.vocab_size, fea.embed_dim))
-        self.tables = tables
+            fused[dim] = self.param(f"fused_d{dim}_table", init_fn, (padded, dim))
+        self.fused_tables = fused
+        self._layout = layout
 
     def table(self, name: str):
-        return self.tables[name]
+        """The full ``(V, D)`` table for one owner feature (a slice if fused)."""
+        if not self._use_fused:
+            return self.tables[name]
+        dim, off = self._layout[name]
+        return jax.lax.slice_in_dim(self.fused_tables[dim], off, off + self._specs[name].vocab_size, axis=0)
+
+    def _row_offset(self, feature):
+        return self._layout[table_name(feature)][1]
 
     def lookup(self, x, feature):
         """Gather rows for one sparse/sequence feature; padding rows read as 0."""
         ids = x[feature.name].astype(jnp.int32)
-        emb = jnp.take(self.tables[table_name(feature)], ids, axis=0)
+        if self._use_fused:
+            dim, off = self._layout[table_name(feature)]
+            emb = jnp.take(self.fused_tables[dim], ids + off, axis=0)
+        else:
+            emb = jnp.take(self.tables[table_name(feature)], ids, axis=0)
         if feature.padding_idx is not None:
             emb = emb * (ids != feature.padding_idx)[..., None].astype(emb.dtype)
         return emb
+
+    def _fused_batched_embed(self, x, features):
+        """One gather per dim-group for all sparse/sequence features.
+
+        Returns ``{feature_index: (B, L?, D) embedding}`` keyed by position in
+        ``features``; identical numerics to per-feature :meth:`lookup`.
+        """
+        by_dim = {}
+        for idx, fea in enumerate(features):
+            if isinstance(fea, (SparseFeature, SequenceFeature)):
+                by_dim.setdefault(fea.embed_dim, []).append((idx, fea))
+        out = {}
+        for dim, items in by_dim.items():
+            segs, widths, scalar = [], [], []
+            for _, fea in items:
+                ids = x[fea.name].astype(jnp.int32)
+                scalar.append(ids.ndim == 1)
+                ids = ids[:, None] if ids.ndim == 1 else ids
+                segs.append(ids + self._row_offset(fea))
+                widths.append(ids.shape[1])
+            all_ids = segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=1)
+            emb = jnp.take(self.fused_tables[dim], all_ids, axis=0)  # (B, T, D)
+            pos = 0
+            for (idx, fea), w, was_scalar in zip(items, widths, scalar):
+                e = emb[:, pos:pos + w]
+                pos += w
+                if fea.padding_idx is not None:
+                    raw = x[fea.name].astype(jnp.int32)
+                    raw = raw[:, None] if raw.ndim == 1 else raw
+                    e = e * (raw != fea.padding_idx)[..., None].astype(e.dtype)
+                # scalar sparse ids -> (B, D); 2-D ids (e.g. DeepFFM's
+                # field-offset trick) keep (B, W, D), matching lookup()
+                out[idx] = e[:, 0] if was_scalar else e
+        return out
 
     def __call__(self, x, features, squeeze_dim: bool = False):
         """Embed + pool a feature list from a dict-of-arrays batch.
@@ -104,12 +211,15 @@ class EmbeddingCollection(nn.Module):
         or when ``squeeze_dim`` the flat ``(B, ΣD [+ n_dense])`` concat; pure
         dense inputs return ``(B, n_dense)``.
         """
+        batched = self._fused_batched_embed(x, features) if self._use_fused else None
         sparse_emb, dense_values = [], []
-        for fea in features:
+        for idx, fea in enumerate(features):
             if isinstance(fea, SparseFeature):
-                sparse_emb.append(self.lookup(x, fea)[:, None, :])
+                e = batched[idx] if batched is not None else self.lookup(x, fea)
+                sparse_emb.append(e[:, None, :])
             elif isinstance(fea, SequenceFeature):
-                pooled = pool_sequence(self.lookup(x, fea), feature_mask(x, fea), fea.pooling)
+                e = batched[idx] if batched is not None else self.lookup(x, fea)
+                pooled = pool_sequence(e, feature_mask(x, fea), fea.pooling)
                 sparse_emb.append(pooled[:, None, ...])
             elif isinstance(fea, DenseFeature):
                 v = x[fea.name].astype(jnp.float32)

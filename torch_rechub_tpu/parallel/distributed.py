@@ -30,8 +30,14 @@ def initialize(coordinator_address: Optional[str] = None, num_processes: Optiona
         kwargs = dict(coordinator_address=coordinator_address, num_processes=num_processes, process_id=process_id)
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        pass  # single-process run
+    except (RuntimeError, ValueError) as e:
+        if kwargs:
+            # explicit multi-host config that failed must not silently
+            # degrade to single-host training
+            raise RuntimeError(f"jax.distributed.initialize failed for coordinator {coordinator_address!r}: {e}") from e
+        import warnings
+
+        warnings.warn(f"jax.distributed.initialize unavailable ({e}); continuing single-process", RuntimeWarning, stacklevel=2)
 
 
 def process_info():

@@ -108,44 +108,51 @@ class CTRTrainer(JaxTrainer):
             self._build_steps()
 
     # -- public API ---------------------------------------------------------
+    def _iter_groups(self, data_loader):
+        """Host-side padded batch groups ``(xs, ys, ws)`` stacked to
+        ``(n_steps, batch, ...)`` — always stacked (n=1 for single batches) so
+        every group flows through the same scan step."""
+        batch_size = data_loader.batch_size
+        pending = []
+        for x, y in data_loader:
+            pending.append(pad_batch(x, y, batch_size))
+            if len(pending) >= max(1, self.steps_per_call):
+                yield self._stack_group(pending)
+                pending = []
+        if pending:
+            yield self._stack_group(pending)
+
+    @staticmethod
+    def _stack_group(pending):
+        xs = {k: np.stack([b[0][k] for b in pending]) for k in pending[0][0]}
+        ys = np.stack([b[1] for b in pending]).astype(np.float32)
+        ws = np.stack([b[2] for b in pending]).astype(np.float32)
+        return xs, ys, ws
+
     def train_one_epoch(self, data_loader, log_interval: int = 10, lr: Optional[float] = None) -> float:
         self._ensure_ready(data_loader)
         lr = self.lr0 if lr is None else lr
         lr_dev = jnp.asarray(lr, jnp.float32)
-        batch_size = data_loader.batch_size
         losses = []
-        pending = []  # padded host batches awaiting a scan group
+        n_seen = 0
+        t0 = time.perf_counter()
 
-        def flush():
-            if not pending:
-                return
-            if len(pending) == 1:
-                x, y, w = pending[0]
-                x = self.place_batch({k: jnp.asarray(v) for k, v in x.items()})
-                self.state, loss = self._train_step(self.state, x, jnp.asarray(y, jnp.float32), jnp.asarray(w), lr_dev, self.next_dropout_rng())
-                losses.append(loss)
-            else:
-                from ..parallel import mesh as mesh_lib
+        from ..data.dataset import prefetch_to_device
+        from ..parallel import mesh as mesh_lib
 
-                xs = {k: jnp.asarray(np.stack([b[0][k] for b in pending])) for k in pending[0][0]}
-                if self.mesh is not None:
-                    sharding = mesh_lib.scan_batch_sharding(self.mesh)
-                    xs = jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), xs)
-                ys = jnp.asarray(np.stack([b[1] for b in pending]), jnp.float32)
-                ws = jnp.asarray(np.stack([b[2] for b in pending]))
-                self.state, group_losses = self._train_steps_scan(self.state, xs, ys, ws, lr_dev, self.next_dropout_rng())
-                losses.append(jnp.mean(group_losses))
-            pending.clear()
+        sharding = mesh_lib.scan_batch_sharding(self.mesh)
+        groups = prefetch_to_device(self._iter_groups(data_loader), size=2, sharding=sharding)
+        for gi, (xs, ys, ws) in enumerate(groups):
+            self.state, group_losses = self._train_steps_scan(self.state, xs, ys, ws, lr_dev, self.next_dropout_rng())
+            losses.append(group_losses)  # device array (n_steps,) — no sync here
+            n_seen += int(ys.shape[0]) * int(ys.shape[1])
             self.maybe_step_checkpoint()
-
-        for i, (x, y) in enumerate(data_loader):
-            pending.append(pad_batch(x, y, batch_size))
-            if len(pending) >= max(1, self.steps_per_call):
-                flush()
-        flush()
+            if log_interval and (gi + 1) % log_interval == 0:
+                dt = time.perf_counter() - t0
+                print(f"  train {n_seen} examples, loss {float(jnp.mean(group_losses)):.5f}, {n_seen / dt:,.0f} ex/s")
         if not losses:
             return 0.0
-        return float(np.mean([to_numpy(l) for l in losses]))
+        return float(np.mean(np.concatenate([to_numpy(l).reshape(-1) for l in losses])))
 
     def fit(self, train_dataloader, val_dataloader=None, log_interval: int = 10):
         self._ensure_ready(train_dataloader)

@@ -135,44 +135,52 @@ class MatchTrainer(JaxTrainer):
             self._build_steps()
 
     # -- public API ---------------------------------------------------------
+    def _iter_groups(self, data_loader):
+        batch_size = data_loader.batch_size
+        pending = []
+        for x, y in data_loader:
+            pending.append(pad_batch(x, y, batch_size))
+            if len(pending) >= max(1, self.steps_per_call):
+                yield self._stack_group(pending)
+                pending = []
+        if pending:
+            yield self._stack_group(pending)
+
+    @staticmethod
+    def _stack_group(pending):
+        xs = {k: np.stack([b[0][k] for b in pending]) for k in pending[0][0]}
+        ys = np.stack([b[1] for b in pending])  # dtype preserved (mode-2 int labels)
+        ws = np.stack([b[2] for b in pending]).astype(np.float32)
+        return xs, ys, ws
+
     def train_one_epoch(self, data_loader, log_interval: int = 10, lr: Optional[float] = None) -> float:
         self._ensure_ready(data_loader)
         lr = self.lr0 if lr is None else lr
         lr_dev = jnp.asarray(lr, jnp.float32)
-        batch_size = data_loader.batch_size
         losses = []
         sampler_key = jax.random.PRNGKey(self.sampler_seed)
-        pending = []
+        # host-side step counter: one device sync per epoch instead of one per flush
+        host_step = int(self.state.step)
+        n_seen = 0
+        t0 = time.perf_counter()
 
-        def flush():
-            if not pending:
-                return
-            if len(pending) == 1:
-                x, y, w = pending[0]
-                x = self.place_batch({k: jnp.asarray(v) for k, v in x.items()})
-                sample_rng = jax.random.fold_in(sampler_key, int(self.state.step))
-                self.state, loss = self._train_step(self.state, x, jnp.asarray(y), jnp.asarray(w), lr_dev, self.next_dropout_rng(), sample_rng)
-                losses.append(loss)
-            else:
-                from ..parallel import mesh as mesh_lib
+        from ..data.dataset import prefetch_to_device
+        from ..parallel import mesh as mesh_lib
 
-                xs = {k: jnp.asarray(np.stack([b[0][k] for b in pending])) for k in pending[0][0]}
-                if self.mesh is not None:
-                    sharding = mesh_lib.scan_batch_sharding(self.mesh)
-                    xs = jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), xs)
-                ys = jnp.asarray(np.stack([b[1] for b in pending]))
-                ws = jnp.asarray(np.stack([b[2] for b in pending]))
-                sample_rng = jax.random.fold_in(sampler_key, int(self.state.step))
-                self.state, group = self._train_steps_scan(self.state, xs, ys, ws, lr_dev, self.next_dropout_rng(), sample_rng)
-                losses.append(jnp.mean(group))
-            pending.clear()
-
-        for i, (x, y) in enumerate(data_loader):
-            pending.append(pad_batch(x, y, batch_size))
-            if len(pending) >= max(1, self.steps_per_call):
-                flush()
-        flush()
-        return float(np.mean([to_numpy(l) for l in losses])) if losses else 0.0
+        sharding = mesh_lib.scan_batch_sharding(self.mesh)
+        groups = prefetch_to_device(self._iter_groups(data_loader), size=2, sharding=sharding)
+        for gi, (xs, ys, ws) in enumerate(groups):
+            sample_rng = jax.random.fold_in(sampler_key, host_step)
+            self.state, group = self._train_steps_scan(self.state, xs, ys, ws, lr_dev, self.next_dropout_rng(), sample_rng)
+            losses.append(group)
+            host_step += int(ys.shape[0])
+            n_seen += int(ys.shape[0]) * int(ys.shape[1])
+            if log_interval and (gi + 1) % log_interval == 0:
+                dt = time.perf_counter() - t0
+                print(f"  train {n_seen} examples, loss {float(jnp.mean(group)):.5f}, {n_seen / dt:,.0f} ex/s")
+        if not losses:
+            return 0.0
+        return float(np.mean(np.concatenate([to_numpy(l).reshape(-1) for l in losses])))
 
     def fit(self, train_dataloader, val_dataloader=None, log_interval: int = 10):
         self._ensure_ready(train_dataloader)

@@ -246,44 +246,47 @@ class MTLTrainer(JaxTrainer):
             self._build_steps()
 
     # -- public API ---------------------------------------------------------
-    def train_one_epoch(self, data_loader, lr: Optional[float] = None):
-        self._ensure_ready(data_loader)
-        lr = self.lr0 if lr is None else lr
+    def _iter_groups(self, data_loader):
         batch_size = data_loader.batch_size
-        lr_dev = jnp.asarray(lr, jnp.float32)
-        totals = np.zeros(self.n_task)
-        n = 0
-        pending = []  # padded host batches awaiting a scan group
-
-        def flush():
-            nonlocal n, totals
-            if not pending:
-                return
-            if len(pending) == 1:
-                x, ys, w = pending[0]
-                x = self.place_batch({k: jnp.asarray(v) for k, v in x.items()})
-                self.state, loss_list = self._train_step(self.state, x, jnp.asarray(ys), jnp.asarray(w), lr_dev, self.next_dropout_rng())
-                totals += to_numpy(loss_list)
-                n += 1
-            else:
-                from ..parallel import mesh as mesh_lib
-
-                xs = {k: jnp.asarray(np.stack([b[0][k] for b in pending])) for k in pending[0][0]}
-                if self.mesh is not None:
-                    sharding = mesh_lib.scan_batch_sharding(self.mesh)
-                    xs = jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), xs)
-                yss = jnp.asarray(np.stack([b[1] for b in pending]))
-                ws = jnp.asarray(np.stack([b[2] for b in pending]))
-                self.state, group_losses = self._train_steps_scan(self.state, xs, yss, ws, lr_dev, self.next_dropout_rng())
-                totals += to_numpy(jnp.sum(group_losses, axis=0))
-                n += len(pending)
-            pending.clear()
-
+        pending = []
         for x, ys in data_loader:
             pending.append(pad_batch(x, ys, batch_size))
             if len(pending) >= max(1, self.steps_per_call):
-                flush()
-        flush()
+                yield self._stack_group(pending)
+                pending = []
+        if pending:
+            yield self._stack_group(pending)
+
+    @staticmethod
+    def _stack_group(pending):
+        xs = {k: np.stack([b[0][k] for b in pending]) for k in pending[0][0]}
+        yss = np.stack([b[1] for b in pending])
+        ws = np.stack([b[2] for b in pending]).astype(np.float32)
+        return xs, yss, ws
+
+    def train_one_epoch(self, data_loader, lr: Optional[float] = None, log_interval: int = 10):
+        self._ensure_ready(data_loader)
+        lr = self.lr0 if lr is None else lr
+        lr_dev = jnp.asarray(lr, jnp.float32)
+        group_losses_dev = []  # (n_steps, n_task) device arrays — sync once per epoch
+        n = 0
+        n_seen = 0
+        t0 = time.perf_counter()
+
+        from ..data.dataset import prefetch_to_device
+        from ..parallel import mesh as mesh_lib
+
+        sharding = mesh_lib.scan_batch_sharding(self.mesh)
+        groups = prefetch_to_device(self._iter_groups(data_loader), size=2, sharding=sharding)
+        for gi, (xs, yss, ws) in enumerate(groups):
+            self.state, group_losses = self._train_steps_scan(self.state, xs, yss, ws, lr_dev, self.next_dropout_rng())
+            group_losses_dev.append(group_losses)
+            n += int(yss.shape[0])
+            n_seen += int(yss.shape[0]) * int(ws.shape[-1])
+            if log_interval and (gi + 1) % log_interval == 0:
+                dt = time.perf_counter() - t0
+                print(f"  train {n_seen} examples, {n_seen / dt:,.0f} ex/s")
+        totals = np.sum([to_numpy(jnp.sum(g, axis=0)) for g in group_losses_dev], axis=0) if group_losses_dev else np.zeros(self.n_task)
         loss_avg = (totals / max(n, 1)).tolist()
         print("train loss: ", {f"task_{i}:": loss_avg[i] for i in range(self.n_task)})
         if self.state.loss_weight is not None:

@@ -133,38 +133,55 @@ class SeqTrainer(JaxTrainer):
         if self._train_step is None:
             self._build_steps()
 
-    def train_one_epoch(self, data_loader, log_interval: int = 10, lr: Optional[float] = None) -> float:
-        self._ensure_ready(data_loader)
-        lr = self.lr0 if lr is None else lr
-        lr_dev = jnp.asarray(lr, jnp.float32)
+    def _iter_groups(self, data_loader):
+        """Yield stacked ``(n, B, ...)`` groups of full-size batches and plain
+        ``(B, ...)`` odd-size tail batches (told apart by tokens.ndim),
+        preserving step order."""
         batch_size = getattr(data_loader, "batch_size", None)
-        losses = []
-        pending = []  # full-size host batches awaiting a scan group
+        pending = []
 
-        def flush():
-            if not pending:
-                return
-            if len(pending) == 1:
-                toks, tds, tgts = pending[0]
-                self.state, loss = self._train_step(self.state, jnp.asarray(toks), jnp.asarray(tds), jnp.asarray(tgts), lr_dev, self.next_dropout_rng())
-                losses.append(loss)
-            else:
-                self.state, group = self._train_steps_scan(self.state, jnp.asarray(np.stack([b[0] for b in pending])), jnp.asarray(np.stack([b[1] for b in pending])), jnp.asarray(np.stack([b[2] for b in pending])), lr_dev, self.next_dropout_rng())
-                losses.append(jnp.mean(group))
-            pending.clear()
+        def stacked():
+            return tuple(np.stack([b[i] for b in pending]) for i in range(3))
 
         for seq_tokens, _pos, time_diffs, targets in data_loader:
             batch = (np.asarray(seq_tokens), np.asarray(time_diffs), np.asarray(targets).reshape(-1))
             if self.steps_per_call > 1 and (batch_size is None or len(batch[2]) == batch_size):
                 pending.append(batch)
                 if len(pending) >= self.steps_per_call:
-                    flush()
+                    yield stacked()
+                    pending = []
             else:
-                flush()  # keep step order before dispatching the odd-size batch
-                self.state, loss = self._train_step(self.state, jnp.asarray(batch[0]), jnp.asarray(batch[1]), jnp.asarray(batch[2]), lr_dev, self.next_dropout_rng())
-                losses.append(loss)
-        flush()
-        return float(np.mean([to_numpy(l) for l in losses])) if losses else 0.0
+                if pending:
+                    yield stacked()
+                    pending = []
+                yield batch
+        if pending:
+            yield stacked()
+
+    def train_one_epoch(self, data_loader, log_interval: int = 10, lr: Optional[float] = None) -> float:
+        self._ensure_ready(data_loader)
+        lr = self.lr0 if lr is None else lr
+        lr_dev = jnp.asarray(lr, jnp.float32)
+        losses = []
+        n_seen = 0
+        t0 = time.perf_counter()
+
+        from ..data.dataset import prefetch_to_device
+
+        groups = prefetch_to_device(self._iter_groups(data_loader), size=2)
+        for gi, (toks, tds, tgts) in enumerate(groups):
+            if toks.ndim == 3:  # stacked (n, B, L) scan group
+                self.state, group = self._train_steps_scan(self.state, toks, tds, tgts, lr_dev, self.next_dropout_rng())
+                losses.append(group)
+                n_seen += int(tgts.shape[0]) * int(tgts.shape[1])
+            else:
+                self.state, loss = self._train_step(self.state, toks, tds, tgts, lr_dev, self.next_dropout_rng())
+                losses.append(loss.reshape(1))
+                n_seen += int(tgts.shape[0])
+            if log_interval and (gi + 1) % log_interval == 0:
+                dt = time.perf_counter() - t0
+                print(f"  train {n_seen} sequences, loss {float(jnp.mean(losses[-1])):.5f}, {n_seen / dt:,.0f} seq/s")
+        return float(np.mean(np.concatenate([to_numpy(l).reshape(-1) for l in losses]))) if losses else 0.0
 
     def fit(self, train_dataloader, val_dataloader=None):
         self._ensure_ready(train_dataloader)
