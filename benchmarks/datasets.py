@@ -118,20 +118,45 @@ def build_ml1m_matching_dataset(seed: int = 2022, n_users: int = 200, n_items: i
     return MatchingDatasetBundle(user_features, item_features, neg_item_feature, x_train, y_train, x_test, x_all_item, x_test)
 
 
+# reference's census dense column list (benchmarks/datasets.py:186-193)
+_CENSUS_DENSE_COLS = ("age", "wage per hour", "capital gains", "capital losses", "divdends from stocks", "num persons worked for employer", "weeks worked in year")
+
+
 def build_census_multitask_dataset(seed: int = 2022, n: int = 2000, embed_dim: int = 8):
-    """Census-income-shaped MTL bundle: 2 binary tasks (cvr_label, ctr_label)."""
+    """Census-income MTL bundle: income -> cvr_label, marital status -> ctr_label.
+
+    Loads the committed ``benchmarks/data/census/census_income_sample.csv``
+    when present (reference semantics, ``/root/reference/benchmarks/
+    datasets.py:198-246``); synthetic fallback otherwise.
+    """
+    csv = os.path.join(DATA_DIR, "census", "census_income_sample.csv")
     rng = np.random.default_rng(seed)
-    sparse_cols = [f"cat_{i}" for i in range(8)]
-    dense_cols = [f"num_{i}" for i in range(5)]
-    x = {c: rng.integers(0, 40, n).astype(np.int32) for c in sparse_cols}
-    x.update({c: rng.normal(size=n).astype(np.float32) for c in dense_cols})
-    l1 = (x["cat_0"] % 3 == 0).astype(np.float32) * 1.5 + x["num_0"] * 0.5 - 0.5
-    l2 = (x["cat_1"] % 2).astype(np.float32) * 1.2 + x["num_1"] * 0.3 - 0.6
-    y = np.stack([
-        (rng.random(n) < 1 / (1 + np.exp(-l1))).astype(np.float32),
-        (rng.random(n) < 1 / (1 + np.exp(-l2))).astype(np.float32),
-    ], axis=1)
-    features = tuple(SparseFeature(c, vocab_size=40, embed_dim=embed_dim) for c in sparse_cols) + tuple(DenseFeature(c) for c in dense_cols)
+    if os.path.exists(csv):
+        import pandas as pd
+
+        df = pd.read_csv(csv).fillna(0)
+        df = df.rename(columns={"income": "cvr_label", "marital status": "ctr_label"})
+        non_label = [c for c in df.columns if c not in ("cvr_label", "ctr_label")]
+        dense_cols = [c for c in _CENSUS_DENSE_COLS if c in non_label]
+        sparse_cols = [c for c in non_label if c not in dense_cols]
+        x = {c: df[c].to_numpy(np.int32) for c in sparse_cols}
+        x.update({c: df[c].to_numpy(np.float32) for c in dense_cols})
+        y = df[["cvr_label", "ctr_label"]].to_numpy(np.float32)
+        vocab = {c: int(df[c].max()) + 1 for c in sparse_cols}
+        n = len(df)
+    else:
+        sparse_cols = [f"cat_{i}" for i in range(8)]
+        dense_cols = [f"num_{i}" for i in range(5)]
+        vocab = {c: 40 for c in sparse_cols}
+        x = {c: rng.integers(0, 40, n).astype(np.int32) for c in sparse_cols}
+        x.update({c: rng.normal(size=n).astype(np.float32) for c in dense_cols})
+        l1 = (x["cat_0"] % 3 == 0).astype(np.float32) * 1.5 + x["num_0"] * 0.5 - 0.5
+        l2 = (x["cat_1"] % 2).astype(np.float32) * 1.2 + x["num_1"] * 0.3 - 0.6
+        y = np.stack([
+            (rng.random(n) < 1 / (1 + np.exp(-l1))).astype(np.float32),
+            (rng.random(n) < 1 / (1 + np.exp(-l2))).astype(np.float32),
+        ], axis=1)
+    features = tuple(SparseFeature(c, vocab_size=vocab[c], embed_dim=embed_dim) for c in sparse_cols) + tuple(DenseFeature(c) for c in dense_cols)
     split = int(n * 0.8)
     return MultiTaskDatasetBundle(
         features,

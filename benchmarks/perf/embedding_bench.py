@@ -89,6 +89,56 @@ def bench_layout(fused: bool, n_tables: int, vocab: int, dim: int, batch: int, s
     }
 
 
+def bench_sparse(method: str, n_tables: int, vocab: int, dim: int, batch: int, scan_n: int, windows: int = 5):
+    """Fused table + row-wise sparse update (the production path): per-step
+    cost is O(batch * dim), independent of vocab size."""
+    from torch_rechub_tpu.ops.sparse_update import rowwise_adagrad_update, sparse_sgd_update
+
+    rows = (n_tables * vocab // 64 + 1) * 64
+    key0 = jax.random.PRNGKey(0)
+    table = jax.random.normal(key0, (rows, dim), jnp.float32) * 1e-4
+    accum = jnp.zeros((rows,), jnp.float32)
+    n_ids = n_tables * batch
+
+    def one_step(carry, key):
+        table, accum = carry
+        ids = jax.random.randint(key, (n_ids,), 0, n_tables * vocab, jnp.int32)
+        demb = jax.grad(lambda rows: jnp.sum(rows * rows))(jnp.take(table, ids, axis=0))
+        if method == "sgd":
+            table = sparse_sgd_update(table, ids, demb, 1e-3)
+        else:
+            table, accum = rowwise_adagrad_update(table, accum, ids, demb, 1e-3)
+        return (table, accum), 0.0
+
+    @jax.jit
+    def run(carry, key):
+        keys = jax.random.split(key, scan_n)
+        carry, _ = jax.lax.scan(one_step, carry, keys)
+        return carry
+
+    def sync(c):
+        return float(jnp.sum(c[0][0]))
+
+    carry = run((table, accum), jax.random.PRNGKey(1))
+    sync(carry)
+    times = []
+    for w in range(windows):
+        t0 = time.perf_counter()
+        carry = run(carry, jax.random.PRNGKey(2 + w))
+        sync(carry)
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+    lookups_per_s = scan_n * n_ids / med
+    return {
+        "layout": f"fused+sparse-{method}",
+        "lookups_per_s": round(lookups_per_s / 1e6, 2),
+        "unit": "M lookups/s",
+        "effective_gbps": round(lookups_per_s * dim * 4 * 3 / 1e9, 1),
+        "median_s": round(med, 4),
+        "spread": round((max(times) - min(times)) / med, 3),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--vocab", type=int, default=1_000_000)
@@ -103,9 +153,13 @@ def main():
     for fused in (False, True):
         r = bench_layout(fused, args.tables, args.vocab, args.dim, args.batch, args.scan_n)
         results.append(r)
-        print(json.dumps(r))
-    speedup = results[1]["lookups_per_s"] / results[0]["lookups_per_s"]
-    print(json.dumps({"metric": "fused_vs_perfeature_speedup", "value": round(speedup, 3)}))
+        print(json.dumps(r), flush=True)
+    for method in ("sgd", "adagrad"):
+        r = bench_sparse(method, args.tables, args.vocab, args.dim, args.batch, args.scan_n)
+        results.append(r)
+        print(json.dumps(r), flush=True)
+    speedup = results[2]["lookups_per_s"] / results[0]["lookups_per_s"]
+    print(json.dumps({"metric": "sparse_vs_dense_perfeature_speedup", "value": round(speedup, 3)}))
 
 
 if __name__ == "__main__":

@@ -40,8 +40,8 @@ def test_fused_param_layout():
     names = sorted(variables["params"].keys())
     assert names == ["fused_d4_table", "fused_d8_table"]
     d8 = variables["params"]["fused_d8_table"]
-    # cat(50) + brand(30) = 80 rows padded to the row multiple
-    assert d8.shape == (-(-80 // _FUSED_ROW_MULTIPLE) * _FUSED_ROW_MULTIPLE, 8)
+    # cat(50) + brand(30) = 80 rows padded to the NEXT row multiple (>=1 spare)
+    assert d8.shape == ((80 // _FUSED_ROW_MULTIPLE + 1) * _FUSED_ROW_MULTIPLE, 8)
     assert d8.shape[0] % _FUSED_ROW_MULTIPLE == 0
     # padded tail rows are zero
     np.testing.assert_allclose(np.asarray(d8[80:]), 0.0)

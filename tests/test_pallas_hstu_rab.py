@@ -1,0 +1,95 @@
+"""On-the-fly rab HSTU kernel: pallas (interpret) == dense XLA, fwd + grads."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torch_rechub_tpu.ops.pallas import hstu_rab_attention as mod
+from torch_rechub_tpu.ops.pallas.hstu_rab_attention import BucketCfg, _dense_forward, hstu_attention_rab
+
+B, H, L, DQK, DV = 2, 3, 256, 32, 32
+MAXL = 256
+CFG = BucketCfg(num_buckets=16, fn="sqrt", divisor=1.0, unit="minutes")
+
+
+def inputs(seed=0, has_time=True):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(B, H, L, DQK)).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.normal(size=(B, H, L, DQK)).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.normal(size=(B, H, L, DV)).astype(np.float32)) * 0.3
+    pos_w = jnp.asarray(rng.normal(size=(2 * MAXL - 1, H)).astype(np.float32)) * 0.1
+    ts_w = jnp.asarray(rng.normal(size=(CFG.num_buckets + 1, H)).astype(np.float32)) * 0.1
+    # near-sorted timestamps (seconds), some repeats
+    ts = jnp.asarray(np.sort(rng.integers(0, 3_000_000, (B, L)), axis=1).astype(np.int32)) if has_time else None
+    mask = jnp.asarray(np.concatenate([np.ones((B, L - 17)), np.zeros((B, 17))], axis=1).astype(bool))
+    return q, k, v, pos_w, ts_w, ts, mask
+
+
+@pytest.fixture
+def force_interpret():
+    mod._FORCE_INTERPRET[0] = True
+    yield
+    mod._FORCE_INTERPRET[0] = False
+
+
+@pytest.mark.parametrize("has_time", [False, True])
+def test_forward_matches_dense(force_interpret, has_time):
+    q, k, v, pos_w, ts_w, ts, mask = inputs(has_time=has_time)
+    out = hstu_attention_rab(q, k, v, pos_w, ts_w, ts, mask, 0.125, MAXL, CFG, 128, 128)
+    ref = _dense_forward(q, k, v, pos_w, ts_w, ts, mask, 0.125, MAXL, CFG, has_time)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("has_time", [False, True])
+def test_grads_match_dense(force_interpret, has_time):
+    q, k, v, pos_w, ts_w, ts, mask = inputs(seed=1, has_time=has_time)
+    g_target = jnp.asarray(np.random.default_rng(2).normal(size=(B, H, L, DV)).astype(np.float32))
+
+    def loss_pallas(q, k, v, pos_w, ts_w):
+        out = hstu_attention_rab(q, k, v, pos_w, ts_w, ts, mask, 0.125, MAXL, CFG, 128, 128)
+        return jnp.sum(out * g_target)
+
+    def loss_dense(q, k, v, pos_w, ts_w):
+        out = _dense_forward(q, k, v, pos_w, ts_w, ts, mask, 0.125, MAXL, CFG, has_time)
+        return jnp.sum(out * g_target)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3, 4))(q, k, v, pos_w, ts_w)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2, 3, 4))(q, k, v, pos_w, ts_w)
+    names = ["dq", "dk", "dv", "dpos_w", "dts_w"]
+    for name, a, b in zip(names, gp, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-5, err_msg=name)
+
+
+def test_skew_diag_sums_matches_naive():
+    rng = np.random.default_rng(3)
+    bq, l, maxl = 8, 32, 32
+    ds = rng.normal(size=(2, 3, bq, l)).astype(np.float32)
+    q0 = 16
+    got = np.asarray(mod._skew_diag_sums(jnp.asarray(ds), q0, l, maxl))
+    n_pos = 2 * maxl - 1
+    exp = np.zeros((n_pos, 3), np.float32)
+    for b in range(2):
+        for h in range(3):
+            for i in range(bq):
+                for m in range(l):
+                    exp[m - (q0 + i) + maxl - 1, h] += ds[b, h, i, m]
+    np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-5)
+
+
+def test_hstu_layer_uses_rab_kernel(force_interpret):
+    """HSTULayer fused path == einsum path, with timestamps."""
+    from torch_rechub_tpu.basic.hstu import HSTULayer
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(2, 256, 32)).astype(np.float32))
+    ts = jnp.asarray(np.sort(rng.integers(0, 10**6, (2, 256)), axis=1).astype(np.int32))
+    mask = jnp.asarray(np.concatenate([np.ones((2, 200)), np.zeros((2, 56))], axis=1).astype(bool))
+
+    kw = dict(d_model=32, n_heads=2, dqk=16, dv=16, dropout=0.0, max_seq_len=256, num_time_buckets=16)
+    fused = HSTULayer(use_fused_kernel=True, **kw)
+    plain = HSTULayer(use_fused_kernel=False, **kw)
+    variables = fused.init(jax.random.PRNGKey(0), x, padding_mask=mask, time_diffs=ts)
+    out_f = fused.apply(variables, x, padding_mask=mask, time_diffs=ts)
+    out_p = plain.apply(variables, x, padding_mask=mask, time_diffs=ts)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p), rtol=2e-4, atol=2e-5)

@@ -88,6 +88,39 @@ def test_embedding_tables_actually_sharded():
     assert total_rows >= 4 * VOCAB
 
 
+def test_inbatch_negatives_span_global_batch():
+    """Under SPMD the in-batch (B, B) score matrix is the GLOBAL batch: the
+    negative pool spans every shard (upgrade over DDP-style per-host pools,
+    reference ``match_trainer.py:118-138`` is single-process).  Sharded run
+    must match the unsharded one exactly."""
+    from torch_rechub_tpu.basic.features import SequenceFeature
+    from torch_rechub_tpu.models import matching
+    from torch_rechub_tpu.trainers import MatchTrainer
+
+    rng = np.random.default_rng(0)
+    n, d = 128, 8
+    user_feats = (SparseFeature("user_id", vocab_size=64, embed_dim=d),)
+    item_feats = (SparseFeature("item_id", vocab_size=64, embed_dim=d),)
+    x = {
+        "user_id": rng.integers(0, 64, n).astype(np.int32),
+        "item_id": rng.integers(0, 64, n).astype(np.int32),
+    }
+    y = np.ones(n, np.float32)
+
+    def run(mesh):
+        model = matching.DSSM(user_features=user_feats, item_features=item_feats, user_params={"dims": (16, d)}, item_params={"dims": (16, d)})
+        tr = MatchTrainer(model, mode=2, in_batch_neg=True, in_batch_neg_ratio=7, n_epoch=1, model_path="/tmp/rechub_ibn_shard", seed=3, mesh=mesh)
+        from torch_rechub_tpu.utils.data import ArrayLoader
+
+        dl = ArrayLoader(x, y, batch_size=64, shuffle=False)
+        losses = [tr.train_one_epoch(dl) for _ in range(2)]
+        return losses
+
+    base = run(None)
+    sharded = run(create_mesh(data=8, model=1))
+    np.testing.assert_allclose(base, sharded, rtol=2e-4, atol=1e-5)
+
+
 def test_brute_force_topk_sharded_matches():
     from torch_rechub_tpu.serving import brute_force_topk
 

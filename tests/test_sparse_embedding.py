@@ -1,0 +1,149 @@
+"""Sparse row-wise embedding updates: numerics vs dense, trainer integration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torch_rechub_tpu.basic.features import DenseFeature, SparseFeature
+from torch_rechub_tpu.models.ranking import DeepFM
+from torch_rechub_tpu.ops.sparse_update import (
+    init_accumulators,
+    pair_sparse_grads,
+    rowwise_adagrad_update,
+    sparse_sgd_update,
+    split_fused_tables,
+)
+from torch_rechub_tpu.trainers import CTRTrainer
+from torch_rechub_tpu.utils.data import ArrayLoader
+
+
+def test_sparse_sgd_matches_dense_sgd():
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(64, 8)).astype(np.float32))
+    ids = jnp.asarray([3, 7, 3, 0, 63, 7, 7])  # duplicates on purpose
+    grads = jnp.asarray(rng.normal(size=(7, 8)).astype(np.float32))
+    lr = 0.1
+    dense_grad = jnp.zeros_like(table).at[ids].add(grads)
+    expected = table - lr * dense_grad
+    got = sparse_sgd_update(table, ids, grads, lr)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-6, atol=1e-7)
+
+
+def test_rowwise_adagrad_dedup_semantics():
+    rng = np.random.default_rng(1)
+    table = jnp.asarray(rng.normal(size=(65, 4)).astype(np.float32))  # row 64 = spare
+    accum = jnp.zeros((65,), jnp.float32)
+    ids = jnp.asarray([2, 5, 2, 9])
+    grads = jnp.asarray(rng.normal(size=(4, 4)).astype(np.float32))
+    lr, eps = 0.05, 1e-10
+
+    new_table, new_accum = rowwise_adagrad_update(table, accum, ids, grads, lr, eps=eps)
+
+    # dense reference: aggregate duplicate rows first, one accumulator update per row
+    agg = np.zeros((65, 4), np.float32)
+    for i, g in zip(np.asarray(ids), np.asarray(grads)):
+        agg[i] += g
+    touched = sorted(set(np.asarray(ids).tolist()))
+    exp_table = np.array(table)
+    exp_accum = np.zeros(65, np.float32)
+    for r in touched:
+        exp_accum[r] = np.mean(agg[r] ** 2)
+        exp_table[r] -= lr / (np.sqrt(exp_accum[r]) + eps) * agg[r]
+
+    np.testing.assert_allclose(np.asarray(new_accum), exp_accum, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(new_table), exp_table, rtol=1e-5, atol=1e-6)
+    # untouched + spare rows unchanged
+    untouched = [r for r in range(65) if r not in touched]
+    np.testing.assert_allclose(np.asarray(new_table)[untouched], np.array(table)[untouched])
+
+
+def build_ctr(n=256, vocab=64, seed=0):
+    rng = np.random.default_rng(seed)
+    x = {f"C{i}": rng.integers(0, vocab, n).astype(np.int32) for i in range(4)}
+    x["I0"] = rng.normal(size=n).astype(np.float32)
+    logit = (x["C0"] % 2) * 2.0 - 1.0 + x["I0"]
+    y = (logit + rng.normal(scale=0.5, size=n) > 0).astype(np.float32)
+    sparse = tuple(SparseFeature(f"C{i}", vocab_size=vocab, embed_dim=8) for i in range(4))
+    dense = (DenseFeature("I0"),)
+    model = DeepFM(deep_features=dense, fm_features=sparse, mlp_params={"dims": (16,), "dropout": 0.0})
+    return model, x, y
+
+
+def test_perturbation_grads_match_dense_table_grads():
+    """scatter(ids, d loss/d rows) == the dense table gradient."""
+    model, x, y = build_ctr()
+    trainer = CTRTrainer(model, n_epoch=1, model_path="/tmp/rechub_sparse_chk", sparse_embedding="sgd")
+    dl = ArrayLoader(x, y, batch_size=64, shuffle=False)
+    trainer._ensure_ready(dl)
+
+    xb, yb = next(iter(dl))
+    xb = {k: jnp.asarray(v) for k, v in xb.items()}
+    yb = jnp.asarray(yb, jnp.float32)
+    w = jnp.ones((64,), jnp.float32)
+    params = trainer.state.params
+    bs = trainer.state.batch_stats
+    rng = jax.random.PRNGKey(0)
+
+    from torch_rechub_tpu.basic.loss import bce_with_logits
+
+    def dense_loss(params):
+        out, _ = model.apply({"params": params, "batch_stats": bs}, xb, training=True, rngs={"dropout": rng, "routing": rng}, mutable=["batch_stats"])
+        return bce_with_logits(out, yb, w)
+
+    dense_grads = jax.grad(dense_loss)(params)
+    tables_dense, _ = split_fused_tables(dense_grads)
+
+    # perturbation path
+    tables_flat, rest_flat = split_fused_tables(params)
+    from torch_rechub_tpu.ops.sparse_update import merge_params
+
+    var_shapes = jax.eval_shape(lambda p, b, xx: model.apply({"params": p, "batch_stats": b}, xx, training=False, mutable=["perturbations"])[1], params, bs, xb)
+    perts = jax.tree_util.tree_map(lambda sd: jnp.zeros(sd.shape, sd.dtype), var_shapes["perturbations"])
+
+    def pert_loss(perts):
+        out, mut = model.apply({"params": params, "batch_stats": bs, "perturbations": perts}, xb, training=True, rngs={"dropout": rng, "routing": rng}, mutable=["batch_stats", "embedding_ids"])
+        return bce_with_logits(out, yb, w), mut["embedding_ids"]
+
+    g_pert, ids_tree = jax.grad(pert_loss, has_aux=True)(perts)
+    scattered = {k: jnp.zeros_like(v) for k, v in tables_flat.items()}
+    for tkey, fids, fgrads in pair_sparse_grads(g_pert, ids_tree):
+        scattered[tkey] = scattered[tkey].at[fids].add(fgrads)
+
+    for tkey, dense in tables_dense.items():
+        np.testing.assert_allclose(np.asarray(scattered[tkey]), np.asarray(dense), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("method", ["sgd", "adagrad"])
+def test_sparse_trainer_learns(method):
+    model, x, y = build_ctr(n=512)
+    lr = {"sgd": 1e-2, "adagrad": 1e-3}[method]  # plain SGD rows need a larger lr
+    trainer = CTRTrainer(model, n_epoch=3, model_path="/tmp/rechub_sparse_fit", sparse_embedding=method, steps_per_call=2, optimizer_params={"lr": lr})
+    dl = ArrayLoader(x, y, batch_size=64, shuffle=False)
+    first = trainer.train_one_epoch(dl)
+    for _ in range(2):
+        last = trainer.train_one_epoch(dl)
+    assert last < first, (first, last)
+    auc = trainer.evaluate(model, dl)
+    assert auc > 0.6
+
+    # unseen vocab rows (never in any batch) must be untouched by training
+    tables_flat, _ = split_fused_tables(jax.device_get(trainer.state.params))
+    # ids only cover [0, 64) per feature; fused rows beyond the last feature's
+    # segment end are padding and must be exactly at init (zero grads)
+    (tkey, table), = tables_flat.items()
+    np.testing.assert_allclose(table[4 * 64:], 0.0)
+
+
+def test_sparse_requires_fused():
+    from torch_rechub_tpu.ops.embedding import set_fused_default
+
+    model, x, y = build_ctr()
+    old = set_fused_default(False)
+    try:
+        trainer = CTRTrainer(model, n_epoch=1, model_path="/tmp/rechub_sparse_nofuse", sparse_embedding="sgd")
+        dl = ArrayLoader(x, y, batch_size=64)
+        with pytest.raises(ValueError, match="fused"):
+            trainer._ensure_ready(dl)
+    finally:
+        set_fused_default(old)

@@ -62,17 +62,22 @@ class HSTULayer(nn.Module):
             time_bucket_unit=self.time_bucket_unit,
             name="rab",
         )
-        bias = rab(time_diffs=time_diffs, seq_len=l)
 
         if self.use_fused_kernel:
-            from ..ops.pallas import hstu_attention
+            # on-the-fly rab: only the SMALL tables reach the kernel — no
+            # (B,H,L,L) bias tensor materializes in fwd or bwd
+            from ..ops.pallas.hstu_rab_attention import BucketCfg, hstu_attention_rab
 
+            pos_w, ts_w = rab.tables()
+            cfg = BucketCfg(num_buckets=self.num_time_buckets, fn=self.time_bucket_fn, divisor=self.time_bucket_divisor, unit=self.time_bucket_unit)
             mask = padding_mask if padding_mask is not None else jnp.ones((b, l), dtype=bool)
-            attn_out = hstu_attention(
-                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), bias, mask, alpha, float(self.max_seq_len)
+            block_k = 256 if l % 256 == 0 else 128  # measured fastest at long L
+            attn_out = hstu_attention_rab(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), pos_w, ts_w, time_diffs, mask, alpha, self.max_seq_len, cfg, 128, block_k
             )  # (B, H, L, dv)
             out = attn_out.transpose(0, 2, 1, 3).reshape(b, l, h * dv)
         else:
+            bias = rab(time_diffs=time_diffs, seq_len=l)
             scores = jnp.einsum("blhd,bmhd->bhlm", q, k) * alpha + bias
             valid = jnp.tril(jnp.ones((l, l), dtype=bool))[None, None]
             if padding_mask is not None:

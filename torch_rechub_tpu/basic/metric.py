@@ -39,6 +39,48 @@ def auc_score(y_true, y_pred):
     return float((pos_rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg))
 
 
+def auc_histogram(y_true, y_score, n_bins: int = 65536, lo: float = 0.0, hi: float = 1.0, weight=None):
+    """Per-shard (pos, neg) score histograms — the device-side AUC primitive.
+
+    Pure jnp, shardable: histograms from different batches/shards/hosts ADD
+    (or ``psum`` over a mesh axis) before :func:`auc_from_histogram`, so exact
+    bucketed AUC never funnels raw scores through the host (the reference's
+    sklearn path is host-only, ``torch_rechub/basic/metric.py:47-74``).
+    """
+    import jax.numpy as jnp
+
+    y_true = jnp.asarray(y_true).reshape(-1).astype(jnp.float32)
+    s = jnp.asarray(y_score).reshape(-1).astype(jnp.float32)
+    w = jnp.ones_like(y_true) if weight is None else jnp.asarray(weight).reshape(-1).astype(jnp.float32)
+    bins = jnp.clip(((s - lo) / (hi - lo) * n_bins).astype(jnp.int32), 0, n_bins - 1)
+    pos = jnp.zeros((n_bins,), jnp.float32).at[bins].add(y_true * w)
+    neg = jnp.zeros((n_bins,), jnp.float32).at[bins].add((1.0 - y_true) * w)
+    return pos, neg
+
+
+def auc_from_histogram(pos, neg):
+    """Tie-aware AUC from (pos, neg) score histograms.
+
+    Exact for scores quantized to the bins; error O(1/n_bins) otherwise
+    (within 1e-4 of sklearn at the default 65536 bins for [0, 1] scores).
+    """
+    import jax.numpy as jnp
+
+    pos = jnp.asarray(pos, jnp.float32)
+    neg = jnp.asarray(neg, jnp.float32)
+    n_pos = jnp.sum(pos)
+    n_neg = jnp.sum(neg)
+    neg_below = jnp.cumsum(neg) - neg  # negatives strictly below each bin
+    auc = jnp.sum(pos * (neg_below + 0.5 * neg)) / (n_pos * n_neg)
+    return auc
+
+
+def auc_score_bucketed(y_true, y_score, n_bins: int = 65536):
+    """Histogram AUC in one call (host convenience wrapper)."""
+    pos, neg = auc_histogram(y_true, y_score, n_bins=n_bins)
+    return float(auc_from_histogram(pos, neg))
+
+
 def get_user_pred(y_true, y_pred, users):
     """Group labels/scores by user id — reference helper (``metric.py:26-44``)."""
     user_pred = {}

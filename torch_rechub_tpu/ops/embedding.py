@@ -27,6 +27,7 @@ into a masked-local-gather + all-reduce pattern over ICI under jit.
 
 from __future__ import annotations
 
+import zlib
 from typing import Optional, Tuple
 
 import flax.linen as nn
@@ -38,8 +39,10 @@ from ..basic.features import DenseFeature, Feature, SequenceFeature, SparseFeatu
 # Global default for EmbeddingCollection.fused when the module doesn't choose.
 _FUSED_DEFAULT = [True]
 
-# Fused tables pad ΣV up to a multiple of this so they row-shard over any
-# model axis up to 64 (padded rows are never addressed; grads to them are 0).
+# Fused tables pad ΣV up to the NEXT multiple of this (always >= 1 spare row)
+# so they row-shard over any model axis up to 64; the spare tail also serves
+# as the scratch row for sparse-update dedup fills.  Padded rows are never
+# addressed by real ids and receive no gradient.
 _FUSED_ROW_MULTIPLE = 64
 
 
@@ -132,7 +135,7 @@ class EmbeddingCollection(nn.Module):
                 offsets.append(offset)
                 offset += fea.vocab_size
             total = offset
-            padded = -(-total // _FUSED_ROW_MULTIPLE) * _FUSED_ROW_MULTIPLE
+            padded = (total // _FUSED_ROW_MULTIPLE + 1) * _FUSED_ROW_MULTIPLE
 
             def init_fn(key, shape, dtype=jnp.float32, _members=tuple(members), _offsets=tuple(offsets), _total=total):
                 w = jnp.zeros(shape, dtype)
@@ -174,6 +177,14 @@ class EmbeddingCollection(nn.Module):
 
         Returns ``{feature_index: (B, L?, D) embedding}`` keyed by position in
         ``features``; identical numerics to per-feature :meth:`lookup`.
+
+        Sparse-gradient hooks: the gathered group tensor passes through
+        ``nn.perturb`` (a no-op unless a ``perturbations`` collection is
+        supplied) and the global row ids are ``sow``n into ``embedding_ids``
+        (a no-op unless that collection is mutable).  A sparse-update trainer
+        uses ``d loss / d perturbation`` + the sown ids to apply row-wise
+        table updates without ever materializing a dense ``(V, D)`` gradient
+        (see ``ops/sparse_update.py``).
         """
         by_dim = {}
         for idx, fea in enumerate(features):
@@ -190,6 +201,14 @@ class EmbeddingCollection(nn.Module):
                 widths.append(ids.shape[1])
             all_ids = segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=1)
             emb = jnp.take(self.fused_tables[dim], all_ids, axis=0)  # (B, T, D)
+            # stable per-call-site tag: dim + crc of the feature-name tuple
+            tag = f"d{dim}_{zlib.crc32(';'.join(fea.name for _, fea in items).encode()):08x}"
+            # perturb only when creatable or already created: callers may apply
+            # with a feature subset unseen at init, whose perturbation var
+            # doesn't exist — skipping is the correct zero no-op
+            if self.is_mutable_collection("perturbations") or self.has_variable("perturbations", f"demb_{tag}"):
+                emb = self.perturb(f"demb_{tag}", emb)
+            self.sow("embedding_ids", f"ids_{tag}", all_ids)
             pos = 0
             for (idx, fea), w, was_scalar in zip(items, widths, scalar):
                 e = emb[:, pos:pos + w]

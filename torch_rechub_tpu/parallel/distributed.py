@@ -23,7 +23,9 @@ def initialize(coordinator_address: Optional[str] = None, num_processes: Optiona
     """Bring up the multi-host runtime (no-op if already initialized)."""
     import jax
 
-    if jax.process_count() > 1:
+    # NOTE: must not touch device APIs (jax.process_count/devices) before
+    # jax.distributed.initialize — they'd initialize the local-only backend
+    if jax.distributed.is_initialized():
         return
     kwargs = {}
     if coordinator_address is not None:

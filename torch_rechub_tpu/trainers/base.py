@@ -126,7 +126,9 @@ class JaxTrainer:
         variables = init_fn({"params": init_rng, "dropout": init_rng, "routing": init_rng}, x_dev)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
-        self.const_vars = {k: v for k, v in variables.items() if k not in ("params", "batch_stats")}
+        # perturbations/embedding_ids are per-batch transients created by the
+        # sparse-gradient hooks during init — never constants to re-feed
+        self.const_vars = {k: v for k, v in variables.items() if k not in ("params", "batch_stats", "perturbations", "embedding_ids", "intermediates")}
         if self.mesh is not None:
             params = mesh_lib.shard_params(params, self.mesh)
             batch_stats = jax.tree_util.tree_map(lambda x: jax.device_put(x, mesh_lib.replicated_sharding(self.mesh)), batch_stats)

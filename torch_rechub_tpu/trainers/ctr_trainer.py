@@ -40,7 +40,7 @@ class CTRTrainer(JaxTrainer):
         mesh: optional ``jax.sharding.Mesh`` for SPMD execution.
     """
 
-    def __init__(self, model, optimizer_params=None, regularization_params=None, scheduler_params=None, n_epoch=10, earlystop_patience=10, loss_mode=True, model_path="./", model_logger=None, mesh=None, seed=0, batch_size_hint=None, steps_per_call=1):
+    def __init__(self, model, optimizer_params=None, regularization_params=None, scheduler_params=None, n_epoch=10, earlystop_patience=10, loss_mode=True, model_path="./", model_logger=None, mesh=None, seed=0, batch_size_hint=None, steps_per_call=1, sparse_embedding=None):
         super().__init__(model, optimizer_params, scheduler_params, n_epoch, earlystop_patience, model_path, mesh, seed, model_logger)
         self.loss_mode = loss_mode
         self.reg_loss_fn = RegularizationLoss(**(regularization_params or {}))
@@ -50,6 +50,13 @@ class CTRTrainer(JaxTrainer):
         # loop that amortizes host->device launch latency (the dominant cost
         # for small models, especially on remote-device transports).
         self.steps_per_call = int(steps_per_call)
+        # sparse_embedding: None (dense Adam over everything, reference
+        # semantics) | "sgd" | "adagrad" — update ONLY the embedding rows a
+        # batch touched; required for production vocab sizes where a dense
+        # optimizer pass over the tables dominates (see ops/sparse_update.py).
+        if sparse_embedding not in (None, "sgd", "adagrad"):
+            raise ValueError(f"sparse_embedding must be None|'sgd'|'adagrad', got {sparse_embedding!r}")
+        self.sparse_embedding = sparse_embedding
         self._train_step = None
         self._train_steps_scan = None
         self._predict_step = None
@@ -99,11 +106,100 @@ class CTRTrainer(JaxTrainer):
             return jax.nn.sigmoid(out)
 
         self._train_step, self._train_steps_scan, self._predict_step = train_step, train_steps_scan, predict_step
+        if self.sparse_embedding:
+            self._build_sparse_steps()
+
+    def _build_sparse_steps(self):
+        """Train steps that update embedding-table rows sparsely.
+
+        d loss / d gathered-rows comes from the ``perturbations`` collection,
+        touched row ids from the sown ``embedding_ids`` collection (see
+        ``ops/embedding.py``); tables are excluded from jax.grad so no dense
+        ``(V, D)`` cotangent ever materializes.  Dense params keep the normal
+        optax path; tables get SGD / row-wise-Adagrad scatter updates.
+        Regularization applies to dense params only (use the update's
+        ``weight_decay`` for tables).
+        """
+        from ..ops import sparse_update as su
+
+        model, loss_mode, reg = self.model, self.loss_mode, self.reg_loss_fn
+        method = self.sparse_embedding
+
+        # perturbation shape template (fixed: batches are padded to loader size)
+        x0 = {k: jax.ShapeDtypeStruct(v.shape, v.dtype) for k, v in self._x0_dev.items()}
+        var_shapes = jax.eval_shape(
+            lambda p, b, x: model.apply({"params": p, "batch_stats": b}, x, training=False, mutable=["perturbations"])[1],
+            self.state.params, self.state.batch_stats, x0,
+        )
+        pert_template = var_shapes.get("perturbations", {})
+
+        def sparse_loss_fn(rest_flat, perts, tables_flat, batch_stats, x, y, w, rng):
+            params = su.merge_params(tables_flat, rest_flat)
+            variables = {"params": params, "batch_stats": batch_stats, "perturbations": perts}
+            out, mutated = model.apply(variables, x, training=True, rngs={"dropout": rng, "routing": rng}, mutable=["batch_stats", "embedding_ids"])
+            aux = 0.0
+            if not loss_mode:
+                out, aux = out
+            loss = bce_with_logits(out, y, w) + aux
+            if reg:
+                loss = loss + reg(su.merge_params({}, rest_flat))
+            return loss, (mutated.get("batch_stats", batch_stats), mutated.get("embedding_ids", {}))
+
+        def one_sparse_step(state: TrainState, x, y, w, lr, rng):
+            tables_flat, rest_flat = su.split_fused_tables(state.params)
+            opt_state, accums = state.opt_state
+            perts = jax.tree_util.tree_map(lambda sd: jnp.zeros(sd.shape, sd.dtype), pert_template)
+            ((loss, (new_bs, ids_tree)), (g_rest, g_pert)) = jax.value_and_grad(sparse_loss_fn, argnums=(0, 1), has_aux=True)(rest_flat, perts, tables_flat, state.batch_stats, x, y, w, rng)
+            updates, opt_state = self.tx.update(g_rest, opt_state, rest_flat)
+            rest_flat = apply_updates(rest_flat, updates, lr)
+            # group sparse grads by table (a table can feed several call sites)
+            by_table = {}
+            for tkey, fids, fgrads in su.pair_sparse_grads(g_pert, ids_tree):
+                by_table.setdefault(tkey, []).append((fids, fgrads))
+            for tkey, parts in by_table.items():
+                fids = jnp.concatenate([p[0] for p in parts])
+                fgrads = jnp.concatenate([p[1] for p in parts])
+                if method == "sgd":
+                    tables_flat[tkey] = su.sparse_sgd_update(tables_flat[tkey], fids, fgrads, lr)
+                else:
+                    tables_flat[tkey], accums[tkey] = su.rowwise_adagrad_update(tables_flat[tkey], accums[tkey], fids, fgrads, lr)
+            params = su.merge_params(tables_flat, rest_flat)
+            return TrainState(params=params, batch_stats=new_bs, opt_state=(opt_state, accums), step=state.step + 1), loss
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_step(state, x, y, w, lr, rng):
+            return one_sparse_step(state, x, y, w, lr, rng)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_steps_scan(state, xs, ys, ws, lr, rng):
+            n = ys.shape[0]
+            rngs = jax.random.split(rng, n)
+
+            def body(state, batch):
+                x, y, w, r = batch
+                return one_sparse_step(state, x, y, w, lr, r)
+
+            return jax.lax.scan(body, state, (xs, ys, ws, rngs))
+
+        self._train_step, self._train_steps_scan = train_step, train_steps_scan
 
     def _ensure_ready(self, loader):
         if self.state is None:
             x0, _ = loader.first_batch() if loader.y is not None else (loader.first_batch(), None)
-            self.init_state(x0)
+            from ..utils.data import pad_batch as _pad
+
+            x0p, _, _ = _pad(x0, None, loader.batch_size)
+            self._x0_dev = {k: np.asarray(v) for k, v in x0p.items()}
+            self.init_state(x0p)
+            if self.sparse_embedding:
+                from ..ops import sparse_update as su
+
+                tables_flat, rest_flat = su.split_fused_tables(self.state.params)
+                if not tables_flat:
+                    raise ValueError("sparse_embedding requires fused embedding tables (EmbeddingCollection fused mode)")
+                # optax state over dense params only + row-wise accumulators
+                opt_state = (self.tx.init(rest_flat), su.init_accumulators(tables_flat))
+                self.state = self.state.replace(opt_state=opt_state)
         if self._train_step is None:
             self._build_steps()
 
@@ -137,11 +233,14 @@ class CTRTrainer(JaxTrainer):
         n_seen = 0
         t0 = time.perf_counter()
 
-        from ..data.dataset import prefetch_to_device
-        from ..parallel import mesh as mesh_lib
+        if hasattr(data_loader, "device_groups"):
+            groups = data_loader.device_groups()  # already resident in HBM
+        else:
+            from ..data.dataset import prefetch_to_device
+            from ..parallel import mesh as mesh_lib
 
-        sharding = mesh_lib.scan_batch_sharding(self.mesh)
-        groups = prefetch_to_device(self._iter_groups(data_loader), size=2, sharding=sharding)
+            sharding = mesh_lib.scan_batch_sharding(self.mesh)
+            groups = prefetch_to_device(self._iter_groups(data_loader), size=2, sharding=sharding)
         for gi, (xs, ys, ws) in enumerate(groups):
             self.state, group_losses = self._train_steps_scan(self.state, xs, ys, ws, lr_dev, self.next_dropout_rng())
             losses.append(group_losses)  # device array (n_steps,) — no sync here
@@ -184,10 +283,38 @@ class CTRTrainer(JaxTrainer):
         for logger in iter_loggers(self.loggers):
             logger.finish()
 
-    def evaluate(self, model, data_loader) -> float:
-        """Validation AUC (exact, tie-aware)."""
-        targets, predicts = self.predict(model, data_loader, return_targets=True)
-        return auc_score(targets, predicts)
+    def evaluate(self, model, data_loader, bucketed: bool = False, n_bins: int = 65536) -> float:
+        """Validation AUC.
+
+        ``bucketed=False``: exact tie-aware host AUC (reference semantics).
+        ``bucketed=True``: device-side histogram AUC — per-batch (pos, neg)
+        score histograms accumulate on device (sharded under a mesh) and only
+        ONE scalar crosses to the host; within 1e-4 of exact at default bins.
+        """
+        if not bucketed:
+            targets, predicts = self.predict(model, data_loader, return_targets=True)
+            return auc_score(targets, predicts)
+
+        from ..basic.metric import auc_from_histogram, auc_histogram
+
+        self._ensure_ready(data_loader)
+        batch_size = data_loader.batch_size
+
+        @jax.jit
+        def hist_step(params, batch_stats, x, y, w):
+            p = model.apply({"params": params, "batch_stats": batch_stats}, x, training=False)
+            if not self.loss_mode:
+                p = p[0]
+            return auc_histogram(y, jax.nn.sigmoid(p), n_bins=n_bins, weight=w)
+
+        pos = jnp.zeros((n_bins,), jnp.float32)
+        neg = jnp.zeros((n_bins,), jnp.float32)
+        for x, y in data_loader:
+            x, y, w = pad_batch(x, y, batch_size)
+            x = self.place_batch({k: jnp.asarray(v) for k, v in x.items()})
+            p, n = hist_step(self.state.params, self.state.batch_stats, x, jnp.asarray(y, jnp.float32), jnp.asarray(w))
+            pos, neg = pos + p, neg + n
+        return float(auc_from_histogram(pos, neg))
 
     def predict(self, model, data_loader, return_targets: bool = False):
         self._ensure_ready(data_loader)

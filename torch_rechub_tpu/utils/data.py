@@ -122,6 +122,99 @@ def pad_batch(x: Dict[str, np.ndarray], y: Optional[np.ndarray], batch_size: int
     return x, y, w
 
 
+class DeviceCachedLoader:
+    """Epoch data resident in device HBM: upload once, slice per step on device.
+
+    For datasets that fit accelerator memory this removes ALL steady-state
+    host->device traffic (critical on remote-device transports where per-batch
+    uploads dominate the step time).  Data is uploaded pre-stacked as
+    ``(n_groups, group_size, batch, ...)`` so trainers consume whole scan
+    groups as zero-copy device slices.
+
+    Tail rows that don't fill a full group are padded (cycled rows) with a
+    zero weight mask, same semantics as :func:`pad_batch`.
+
+    API-compatible with :class:`ArrayLoader` where trainers need it
+    (``batch_size``, ``first_batch``, ``dataset_size``); trainers detect the
+    ``device_groups`` method and skip host staging + prefetch entirely.
+    """
+
+    def __init__(self, x: Dict[str, np.ndarray], y: Optional[np.ndarray] = None, batch_size: int = 256, group_size: int = 16, shuffle: bool = False, seed: int = 0, mesh=None):
+        import jax
+        import jax.numpy as jnp
+
+        self.x = {k: np.asarray(v) for k, v in x.items()}
+        self.y = None if y is None else np.asarray(y)
+        lengths = {len(v) for v in self.x.values()}
+        if len(lengths) != 1:
+            raise ValueError(f"inconsistent feature lengths: {lengths}")
+        self.n = lengths.pop()
+        if self.y is not None and len(self.y) != self.n:
+            raise ValueError("labels length mismatch")
+        self.batch_size = batch_size
+        self.group_size = group_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self._epoch = 0
+
+        chunk = batch_size * group_size
+        n_groups = -(-self.n // chunk)
+        padded = n_groups * chunk
+        w = np.ones(padded, np.float32)
+        w[self.n:] = 0.0
+        idx = np.concatenate([np.arange(self.n), np.arange(padded - self.n) % max(self.n, 1)])
+        self.n_groups = n_groups
+
+        def stack(a):
+            return a[idx].reshape(n_groups, group_size, batch_size, *a.shape[1:])
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import DATA_AXIS
+
+            shard = NamedSharding(mesh, P(None, None, DATA_AXIS))
+            put = lambda a: jax.device_put(a, shard)  # noqa: E731
+        else:
+            put = jnp.asarray
+        self._xs = {k: put(stack(v)) for k, v in self.x.items()}
+        self._ys = None if self.y is None else put(stack(self.y.astype(np.float32)))
+        self._ws = put(w.reshape(n_groups, group_size, batch_size))
+        self._mesh = mesh
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return self.n_groups * self.group_size
+
+    @property
+    def dataset_size(self) -> int:
+        return self.n
+
+    def first_batch(self):
+        x = {k: v[: self.batch_size] for k, v in self.x.items()}
+        return (x, self.y[: self.batch_size]) if self.y is not None else x
+
+    def device_groups(self):
+        """Yield ``(xs, ys, ws)`` device groups of shape ``(group, batch, ...)``."""
+        order = np.arange(self.n_groups)
+        if self.shuffle:
+            self._rng.shuffle(order)  # group-level shuffle (device data is immutable)
+        for g in order:
+            xs = {k: v[g] for k, v in self._xs.items()}
+            ys = None if self._ys is None else self._ys[g]
+            yield xs, ys, self._ws[g]
+
+    def __iter__(self):
+        """Host-style iteration fallback (used by evaluate/predict paths)."""
+        for start in range(0, self.n, self.batch_size):
+            sl = slice(start, min(start + self.batch_size, self.n))
+            x = {k: v[sl] for k, v in self.x.items()}
+            if self.y is not None:
+                yield x, self.y[sl]
+            else:
+                yield x
+
+
 class DataGenerator:
     """Train/val/test split + loader factory (reference ``utils/data.py:61-83``)."""
 

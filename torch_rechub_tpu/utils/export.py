@@ -31,7 +31,12 @@ class StableHLOExporter:
         variables: trained variables dict (``{"params": ..., ...}``).
     """
 
+    # per-batch transient collections created by the sparse-grad hooks at
+    # init; never part of an inference artifact
+    _TRANSIENT = ("perturbations", "embedding_ids", "intermediates")
+
     def __init__(self, model, variables: Dict):
+        variables = {k: v for k, v in variables.items() if k not in self._TRANSIENT}
         self.model = model
         self.variables = variables
 

@@ -65,15 +65,22 @@ class RelativeBucketedTimeAndPositionBias(nn.Module):
     time_bucket_divisor: float = 1.0
     time_bucket_unit: str = "minutes"
 
-    @nn.compact
-    def __call__(self, time_diffs=None, seq_len: Optional[int] = None):
+    def setup(self):
         if self.time_bucket_fn not in ("sqrt", "log"):
             raise ValueError(f"Unsupported time_bucket_fn: {self.time_bucket_fn}")
         n_pos = 2 * self.max_seq_len - 1
         bp = math.sqrt(1.0 / n_pos)
-        pos_w = self.param("pos_w", lambda k, s: jax.random.uniform(k, s, minval=-bp, maxval=bp), (n_pos, self.n_heads))
+        self.pos_w = self.param("pos_w", lambda k, s: jax.random.uniform(k, s, minval=-bp, maxval=bp), (n_pos, self.n_heads))
         bt = math.sqrt(1.0 / (self.num_time_buckets + 1))
-        ts_w = self.param("ts_w", lambda k, s: jax.random.uniform(k, s, minval=-bt, maxval=bt), (self.num_time_buckets + 1, self.n_heads))
+        self.ts_w = self.param("ts_w", lambda k, s: jax.random.uniform(k, s, minval=-bt, maxval=bt), (self.num_time_buckets + 1, self.n_heads))
+
+    def tables(self):
+        """The raw ``(2L-1, H)`` position / ``(nb+1, H)`` time tables — used by
+        the fused Pallas kernel, which reconstructs bias tiles on the fly."""
+        return self.pos_w, self.ts_w
+
+    def __call__(self, time_diffs=None, seq_len: Optional[int] = None):
+        pos_w, ts_w = self.pos_w, self.ts_w
 
         if time_diffs is None:
             if seq_len is None:
