@@ -87,15 +87,29 @@ def build_criteo_ranking_dataset(seed: int = 2022, n: int = 2000, embed_dim: int
 
 
 def build_ml1m_matching_dataset(seed: int = 2022, n_users: int = 200, n_items: int = 300, n_inter: int = 4000, embed_dim: int = 16, seq_max_len: int = 20, mode: int = 2, neg_ratio: int = 3):
-    """ML-1M-shaped two-tower retrieval bundle via the real preprocessing path."""
+    """ML-1M two-tower retrieval bundle via the real preprocessing path.
+
+    Loads the committed ``benchmarks/data/ml1m/ml1m_sample.csv`` (public
+    MovieLens rows: user_id, movie_id, timestamp) when present; synthetic
+    interactions otherwise.
+    """
     import pandas as pd
 
     from torch_rechub_tpu.utils.match import gen_model_input, generate_seq_feature_match
 
     rng = np.random.default_rng(seed)
-    users = rng.integers(1, n_users, n_inter)
-    items = ((users % 10) * (n_items // 10) + rng.integers(0, n_items // 10, n_inter)).clip(1, n_items - 1)
-    df = pd.DataFrame({"user_id": users, "movie_id": items, "time": rng.integers(0, 10**6, n_inter)})
+    csv = os.path.join(DATA_DIR, "ml1m", "ml1m_sample.csv")
+    if os.path.exists(csv):
+        raw = pd.read_csv(csv)
+        for col in ("user_id", "movie_id"):
+            raw[col] = raw[col].astype("category").cat.codes + 1  # 0 = PAD
+        df = pd.DataFrame({"user_id": raw["user_id"], "movie_id": raw["movie_id"], "time": raw["timestamp"]})
+        n_users = int(df["user_id"].max()) + 1
+        n_items = int(df["movie_id"].max()) + 1
+    else:
+        users = rng.integers(1, n_users, n_inter)
+        items = ((users % 10) * (n_items // 10) + rng.integers(0, n_items // 10, n_inter)).clip(1, n_items - 1)
+        df = pd.DataFrame({"user_id": users, "movie_id": items, "time": rng.integers(0, 10**6, n_inter)})
     df_train, df_test = generate_seq_feature_match(df, "user_id", "movie_id", "time", mode=mode, neg_ratio=neg_ratio, min_item=3)
     user_profile = pd.DataFrame({"user_id": np.arange(n_users)})
     item_profile = pd.DataFrame({"movie_id": np.arange(n_items)})
