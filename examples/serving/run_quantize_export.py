@@ -25,7 +25,7 @@ from torch_rechub_tpu.models.matching import DSSM
 from torch_rechub_tpu.serving import builder_factory
 from torch_rechub_tpu.trainers import MatchTrainer
 from torch_rechub_tpu.utils.data import ArrayLoader
-from torch_rechub_tpu.utils.export import dequantize_params, load_exported, quantization_error, quantize_params
+from torch_rechub_tpu.utils.export import load_exported, quantization_error
 
 
 def main():
@@ -43,36 +43,56 @@ def main():
     trainer = MatchTrainer(model, mode=0, n_epoch=args.epoch, model_path=args.save_dir)
     trainer.fit(ArrayLoader(bundle.x_train, bundle.y_train, batch_size=256, shuffle=True))
 
-    # --- export both towers (reference dual-tower ONNX export modes) --------
-    example = {k: v[:8] for k, v in bundle.x_train.items()}
+    # --- export both towers, fp32 AND quantized-with-in-graph-dequant --------
+    examples = {
+        "user": {k: np.asarray(v[:8]) for k, v in bundle.x_test_user.items()} if hasattr(bundle, "x_test_user") else {k: np.asarray(v[:8]) for k, v in bundle.x_train.items()},
+        "item": {k: np.asarray(v[:8]) for k, v in bundle.x_all_item.items()},
+    }
+    paths = {}
     for mode in ("user", "item"):
+        example = examples[mode]
         path = trainer.export(os.path.join(args.save_dir, f"dssm_{mode}"), example, mode=mode)
-        size_kb = os.path.getsize(path) / 1024
-        print(f"exported {mode} tower -> {path} ({size_kb:.1f} KiB)")
+        q_path = trainer.export_quantized(os.path.join(args.save_dir, f"dssm_{mode}_{args.mode}"), example, mode=mode, quant_mode=args.mode)
+        paths[mode] = (path, q_path)
+        fp_kb = os.path.getsize(path[: -len(".stablehlo")] + ".params.msgpack") / 1024
+        q_kb = os.path.getsize(q_path[: -len(".stablehlo")] + ".params.msgpack") / 1024
+        print(f"exported {mode} tower -> fp32 {fp_kb:.1f} KiB params, {args.mode} artifact {q_kb:.1f} KiB ({fp_kb / max(q_kb, 1e-9):.2f}x smaller)")
 
-    # --- quantize (reference quantize_model int8/fp16) -----------------------
     import jax
 
     params = jax.device_get(trainer.variables()["params"])
-    qparams = quantize_params(params, mode=args.mode)
     err = quantization_error(params, mode=args.mode)
+    print(f"{args.mode} max relative reconstruction error: {err:.4f}")
 
-    def nbytes(tree):
-        return sum(a.nbytes for a in jax.tree_util.tree_leaves(tree) if hasattr(a, "nbytes"))
-
-    print(f"{args.mode} quantization: {nbytes(params) / 1024:.1f} KiB -> {nbytes(qparams) / 1024:.1f} KiB, max rel err {err:.4f}")
-
-    # --- retrieval agreement: full-precision vs dequantized item tower -------
-    item_dl = ArrayLoader(bundle.x_all_item, batch_size=256)
-    item_emb = trainer.inference_embedding(model, "item", item_dl, args.save_dir)
-    deq = dict(trainer.variables())  # keep batch_stats; swap in dequantized params
-    deq["params"] = dequantize_params(qparams)
+    # --- run BOTH deployed artifacts: latency + retrieval agreement ----------
     x_items = {k: np.asarray(v) for k, v in bundle.x_all_item.items()}
-    q_item_emb = np.asarray(model.apply(deq, x_items, training=False, mode="item"))
+    run_fp, _ = load_exported(paths["item"][0])
+    run_q, _ = load_exported(paths["item"][1])
+    # artifacts are fixed-shape; stream in chunks of the export batch size
+    b = 8
+
+    def stream(run):
+        outs = []
+        for i in range(0, len(next(iter(x_items.values()))), b):
+            chunk = {k: v[i:i + b] for k, v in x_items.items()}
+            n = len(next(iter(chunk.values())))
+            if n < b:
+                chunk = {k: np.concatenate([v, np.repeat(v[-1:], b - n, axis=0)]) for k, v in chunk.items()}
+            outs.append(np.asarray(run(chunk))[:n])
+        return np.concatenate(outs)
+
+    t0 = time.perf_counter()
+    item_emb = stream(run_fp)
+    fp_ms = (time.perf_counter() - t0) * 1000
+    t0 = time.perf_counter()
+    q_item_emb = stream(run_q)
+    q_ms = (time.perf_counter() - t0) * 1000
+    print(f"deployed artifact latency over {len(item_emb)} items: fp32 {fp_ms:.1f} ms, {args.mode} {q_ms:.1f} ms")
+
     fp_top = np.argsort(-np.asarray(item_emb) @ np.asarray(item_emb).T, axis=1)[:, : args.topk]
     q_top = np.argsort(-q_item_emb @ q_item_emb.T, axis=1)[:, : args.topk]
     agree = float(np.mean([len(set(a) & set(b)) / args.topk for a, b in zip(fp_top, q_top)]))
-    print(f"top-{args.topk} retrieval agreement fp32 vs {args.mode}: {agree:.3f}")
+    print(f"top-{args.topk} retrieval agreement fp32 vs {args.mode} artifact: {agree:.3f}")
 
     # --- build + query the index ---------------------------------------------
     builder = builder_factory(args.backend, metric="ip") if args.backend in ("bruteforce", "hnsw") else builder_factory(args.backend)

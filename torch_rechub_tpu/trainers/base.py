@@ -208,6 +208,24 @@ class JaxTrainer:
         exporter = StableHLOExporter(self.model, jax.device_get(self.variables()))
         return exporter.export(output_path, example_input, mode=mode)
 
+    def export_quantized(self, output_path: str, example_input=None, mode: Optional[str] = None, quant_mode: str = "int8") -> str:
+        """Quantized StableHLO export: int8/fp16 params with in-graph dequant.
+
+        Deployment equivalent of the reference's ``quantize_model`` over the
+        exported ONNX (``torch_rechub/utils/quantization.py:26-128``) — the
+        serialized artifact holds quantized weights and the graph dequantizes
+        them at inference time.
+        """
+        if self.state is None:
+            raise RuntimeError("export_quantized() requires a trained/initialized model — call fit() first")
+        from ..utils.export import StableHLOExporter
+        from ..utils.model_utils import generate_dummy_input
+
+        if example_input is None:
+            example_input = generate_dummy_input(self.model)
+        exporter = StableHLOExporter(self.model, jax.device_get(self.variables()))
+        return exporter.export_quantized(output_path, example_input, mode=mode, quant_mode=quant_mode)
+
     def visualization(self, x=None, save_path: Optional[str] = None) -> str:
         """Model architecture summary (reference ``visualization`` methods,
         ``trainers/ctr_trainer.py:246-322``): per-module parameter table with

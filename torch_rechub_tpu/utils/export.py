@@ -63,11 +63,35 @@ class StableHLOExporter:
             mode: ``None`` full model; ``"user"``/``"item"`` tower-only export
                 for two-tower models (reference dual-tower ONNX export modes).
         """
+        return self._export(output_path, example_input, self._forward(mode), self.variables)
+
+    def export_quantized(self, output_path: str, example_input, mode: Optional[str] = None, quant_mode: str = "int8") -> str:
+        """Export a *quantized* inference artifact with dequantization in-graph.
+
+        The deployed equivalent of the reference's quantize-the-ONNX-model flow
+        (``torch_rechub/utils/quantization.py:26-128``): the serialized params
+        are int8 (+ per-channel f32 scales) or fp16 — the on-disk/HBM artifact
+        actually shrinks — and the traced StableHLO graph starts with the
+        dequant ops, so ``load_exported`` runs the quantized artifact directly.
+        """
+        qvariables = dict(self.variables)
+        qvariables["params"] = quantize_params(jax.device_get(self.variables["params"]), quant_mode)
+        forward = self._forward(mode)
+
+        def fn(qvars, x):
+            variables = dict(qvars)
+            variables["params"] = dequantize_params(variables["params"])
+            return forward(variables, x)
+
+        return self._export(output_path, example_input, fn, qvariables)
+
+    @staticmethod
+    def _export(output_path: str, example_input, fn: Callable, variables) -> str:
         from jax import export as jax_export
 
-        fn = self._forward(mode)
-        x_spec = jax.tree_util.tree_map(lambda a: jax.ShapeDtypeStruct(np.asarray(a).shape, np.asarray(a).dtype), example_input)
-        v_spec = jax.tree_util.tree_map(lambda a: jax.ShapeDtypeStruct(np.asarray(a).shape, np.asarray(a).dtype), self.variables)
+        spec = lambda a: jax.ShapeDtypeStruct(np.asarray(a).shape, np.asarray(a).dtype)
+        x_spec = jax.tree_util.tree_map(spec, example_input)
+        v_spec = jax.tree_util.tree_map(spec, variables)
         exported = jax_export.export(jax.jit(fn))(v_spec, x_spec)
         blob = exported.serialize()
         base = output_path
@@ -77,7 +101,7 @@ class StableHLOExporter:
         with open(base + ".stablehlo", "wb") as f:
             f.write(blob)
         with open(base + ".params.msgpack", "wb") as f:
-            f.write(flax.serialization.to_bytes(jax.device_get(self.variables)))
+            f.write(flax.serialization.to_bytes(jax.device_get(variables)))
         return base + ".stablehlo"
 
 
