@@ -10,21 +10,23 @@ from torch_rechub_tpu.basic.metric import auc_score, log_loss
 from torch_rechub_tpu.serving import match_evaluation
 
 
+# single source of truth for ranking metric names; schema.py validates against it
+BINARY_RANKING_METRICS = {
+    "AUC": lambda y, p: auc_score(y, p),
+    "LogLoss": lambda y, p: log_loss(y, p),
+    "Accuracy": lambda y, p: float(np.mean((p > 0.5) == (y > 0.5))),
+    "MSE": lambda y, p: float(np.mean((y - p) ** 2)),
+}
+
+
 def evaluate_binary_ranking(y_true, y_pred, metric_names) -> Dict[str, float]:
-    out = {}
     y_true = np.asarray(y_true).ravel()
     y_pred = np.asarray(y_pred).ravel()
+    out = {}
     for name in metric_names:
-        if name == "AUC":
-            out["AUC"] = auc_score(y_true, y_pred)
-        elif name == "LogLoss":
-            out["LogLoss"] = log_loss(y_true, y_pred)
-        elif name == "Accuracy":
-            out["Accuracy"] = float(np.mean((y_pred > 0.5) == (y_true > 0.5)))
-        elif name == "MSE":
-            out["MSE"] = float(np.mean((y_true - y_pred) ** 2))
-        else:
-            raise KeyError(f"unknown metric {name!r}")
+        if name not in BINARY_RANKING_METRICS:
+            raise KeyError(f"unknown metric {name!r}; registry: {sorted(BINARY_RANKING_METRICS)}")
+        out[name] = BINARY_RANKING_METRICS[name](y_true, y_pred)
     return out
 
 

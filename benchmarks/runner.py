@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from benchmarks.baselines import compare_to_baseline, load_baselines
 from benchmarks.datasets import build_census_multitask_dataset, build_criteo_ranking_dataset, build_ml1m_matching_dataset
 from benchmarks.metrics import evaluate_binary_ranking, evaluate_retrieval, multitask_scores
-from benchmarks.models import build_matching_model, build_multitask_model, build_ranking_model
+from benchmarks.models import build_matching_model, build_multitask_model, build_ranking_model, count_parameters
 from benchmarks.report import write_result
 from benchmarks.schema import validate_config
 
@@ -69,7 +69,7 @@ def run_ranking_benchmark(config: dict) -> dict:
     infer_s = time.perf_counter() - t0
     metrics = evaluate_binary_ranking(bundle.y_test, preds, config.get("metrics", ["AUC", "LogLoss"]))
     n_examples = len(bundle.y_train) * config.get("epochs", 1)
-    return {"metrics": metrics, "runtime": {"data_seconds": data_s, "train_seconds": train_s, "infer_seconds": infer_s, "examples_per_s": n_examples / max(train_s, 1e-9)}}
+    return {"metrics": metrics, "parameter_count": count_parameters(trainer.state.params), "runtime": {"data_seconds": data_s, "train_seconds": train_s, "infer_seconds": infer_s, "examples_per_s": n_examples / max(train_s, 1e-9)}}
 
 
 def run_matching_benchmark(config: dict) -> dict:
@@ -94,7 +94,7 @@ def run_matching_benchmark(config: dict) -> dict:
     t0 = time.perf_counter()
     metrics = evaluate_retrieval(user_emb, item_emb, bundle.test_user, bundle.x_all_item, "user_id", "movie_id", config.get("topk", 10))
     eval_s = time.perf_counter() - t0
-    return {"metrics": metrics, "runtime": {"data_seconds": data_s, "train_seconds": train_s, "infer_seconds": infer_s, "eval_seconds": eval_s}}
+    return {"metrics": metrics, "parameter_count": count_parameters(trainer.state.params), "runtime": {"data_seconds": data_s, "train_seconds": train_s, "infer_seconds": infer_s, "eval_seconds": eval_s}}
 
 
 def run_multitask_benchmark(config: dict) -> dict:
@@ -122,7 +122,7 @@ def run_multitask_benchmark(config: dict) -> dict:
     preds = trainer.predict(model, ArrayLoader(bundle.x_test, y_test, batch_size=bs))
     infer_s = time.perf_counter() - t0
     metrics = multitask_scores(task_types, y_test, preds)
-    return {"metrics": metrics, "runtime": {"data_seconds": data_s, "train_seconds": train_s, "infer_seconds": infer_s}}
+    return {"metrics": metrics, "parameter_count": count_parameters(trainer.state.params), "runtime": {"data_seconds": data_s, "train_seconds": train_s, "infer_seconds": infer_s}}
 
 
 def run_benchmark(config: dict) -> dict:
@@ -137,6 +137,9 @@ def run_benchmark(config: dict) -> dict:
     else:  # pragma: no cover - schema already validates
         raise ValueError(task)
     result["name"] = config.get("name", f"{task}_{config['model']}")
+    result["task"] = task
+    result["model"] = config["model"]
+    result["dataset"] = config["dataset"]
     result["config"] = config
     result["environment"] = environment_metadata()
     return result
