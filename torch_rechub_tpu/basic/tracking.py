@@ -35,6 +35,9 @@ class ConsoleLogger(BaseLogger):
 
     def __init__(self, log_path: Optional[str] = None):
         self.log_path = log_path
+        if log_path:
+            parent = os.path.dirname(os.path.abspath(log_path))
+            os.makedirs(parent, exist_ok=True)
 
     def log_metrics(self, metrics, step=None):
         print(f"[metrics step={step}] " + " ".join(f"{k}={v:.6g}" if isinstance(v, float) else f"{k}={v}" for k, v in metrics.items()))

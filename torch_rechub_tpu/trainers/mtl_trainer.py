@@ -341,7 +341,12 @@ class MTLTrainer(JaxTrainer):
         scores = []
         for i, t in enumerate(self.task_types):
             if t == "classification":
-                scores.append(auc_score(targets[:, i], predicts[:, i]))
+                try:
+                    scores.append(auc_score(targets[:, i], predicts[:, i]))
+                except ValueError:
+                    # degenerate split (single class in this task's labels) —
+                    # score the task NaN instead of killing the whole eval
+                    scores.append(float("nan"))
             else:
                 scores.append(float(np.mean((targets[:, i] - predicts[:, i]) ** 2)))
         return scores
