@@ -304,6 +304,127 @@ def build_aliexpress_multitask_dataset(seed: int = 2022, n: int = 2000, embed_di
     return MultiTaskDatasetBundle(features, ("classification", "classification"), {k: v[:split] for k, v in x.items()}, y[:split], {k: v[split:] for k, v in x.items()}, y[split:])
 
 
+@dataclasses.dataclass
+class SessionDatasetBundle:
+    item_history_feature: SequenceFeature
+    n_items: int
+    x_train: Dict
+    y_train: np.ndarray
+    x_test: Dict
+    y_test: np.ndarray
+
+
+def build_diginetica_session_dataset(seed: int = 2022, embed_dim: int = 32, max_seq_len: int = 19, min_item_freq: int = 1, test_days: int = 7, dataset_path: str = None):
+    """Diginetica session-based bundle for NARM/STAMP (reference ``run_sbr.py``).
+
+    Loads the committed ``benchmarks/data/diginetica/train_item_views_sample.csv``
+    (public CIKM Cup 2016 click-stream rows) when present; synthetic Markov
+    sessions otherwise.  ``min_item_freq`` defaults to 1 on the tiny sample
+    (the reference uses 5 on the full dataset, which would leave 3 items here).
+    """
+    from torch_rechub_tpu.utils.data import generate_session_features, session_model_input
+
+    csv = dataset_path or os.path.join(DATA_DIR, "diginetica", "train_item_views_sample.csv")
+    if os.path.exists(csv):
+        import pandas as pd
+
+        raw = pd.read_csv(csv, sep=";")
+        df = raw.rename(columns={"sessionId": "session_id", "itemId": "item_id", "eventdate": "time"})
+        train_sessions, test_sessions, n_items = generate_session_features(df, min_item_freq=min_item_freq, test_days=test_days, order_cols=("timeframe",))
+    else:
+        rng = np.random.default_rng(seed)
+        n_items = 120
+        trans = rng.integers(1, n_items, (n_items, 3))
+        sessions = []
+        for _ in range(300):
+            cur, sess = int(rng.integers(1, n_items)), []
+            for _ in range(int(rng.integers(3, 10))):
+                sess.append(cur)
+                cur = int(trans[cur, rng.integers(0, 3)])
+            sessions.append(sess)
+        train_sessions, test_sessions = sessions[:270], sessions[270:]
+    x_train, y_train = session_model_input(train_sessions, max_seq_len)
+    x_test, y_test = session_model_input(test_sessions, max_seq_len)
+    fea = SequenceFeature("hist_item_id", vocab_size=n_items, embed_dim=embed_dim, pooling="concat", padding_idx=0)
+    return SessionDatasetBundle(fea, n_items, x_train, y_train, x_test, y_test)
+
+
+@dataclasses.dataclass
+class SBCDatasetBundle:
+    user_features: Tuple
+    item_features: Tuple
+    sample_weight_feature: Tuple
+    x_train: Dict
+    y_train: np.ndarray
+    x_test_user: Dict
+    x_all_item: Dict
+    test_user: Dict
+
+
+def build_yidian_sbc_dataset(seed: int = 2022, embed_dim: int = 16, seq_max_len: int = 10, dataset_path: str = None):
+    """Yidian-News two-tower SBC bundle (reference ``examples/matching/README.md``
+    YiDian-News section + ``run_ml_youtube_sbc.py`` recipe).
+
+    Click events become the interaction stream; user profile carries the
+    news-feed context columns (network/OS/province/city + dense age/gender
+    probabilities); items carry a word2vec ``sample_weight`` DenseFeature for
+    YoutubeSBC's in-batch log-bias correction.
+    """
+    import pandas as pd
+
+    from torch_rechub_tpu.utils.match import gen_model_input, generate_seq_feature_match, get_item_sample_weight
+
+    csv = dataset_path or os.path.join(DATA_DIR, "yidian_news", "yidian_news_sample.csv")
+    rng = np.random.default_rng(seed)
+    user_sparse = ("network", "os", "province", "city")
+    user_dense = ("age0", "age1", "age2", "age3", "female", "male")
+    if os.path.exists(csv):
+        raw = pd.read_csv(csv, index_col=0).rename(columns={"userId": "user_id", "itemId": "item_id", "showTime": "time", "OS": "os"})
+        data = raw[raw["click"] == 1].reset_index(drop=True)
+    else:
+        n = 600
+        data = pd.DataFrame({
+            "user_id": rng.integers(0, 40, n),
+            "item_id": rng.integers(0, 150, n),
+            "time": rng.integers(0, 10**6, n),
+            "network": rng.integers(0, 5, n),
+            "os": np.array(["Android", "iPhone"])[rng.integers(0, 2, n)],
+            "province": rng.integers(0, 10, n),
+            "city": rng.integers(0, 30, n),
+        })
+        for c in user_dense:
+            data[c] = rng.random(n).astype(np.float32)
+    for col in ("user_id", "item_id") + user_sparse:
+        data[col] = data[col].astype("category").cat.codes + 1
+    n_users, n_items = int(data["user_id"].max()) + 1, int(data["item_id"].max()) + 1
+    weight_map = get_item_sample_weight(data["item_id"].tolist())
+    data["sample_weight"] = data["item_id"].map(weight_map).astype(np.float32)
+
+    user_profile = data[["user_id", *user_sparse, *user_dense]].drop_duplicates("user_id")
+    item_profile = data[["item_id", "sample_weight"]].drop_duplicates("item_id")
+    # mode=0 / neg_ratio=0: SBC samples its negatives in-batch (reference
+    # run_ml_youtube_sbc.py:47 comment), label col dropped below
+    df_train, df_test = generate_seq_feature_match(data, "user_id", "item_id", time_col="time", sample_method=1, mode=0, neg_ratio=0, min_item=0)
+    x_train = gen_model_input(df_train, user_profile, "user_id", item_profile, "item_id", seq_max_len=seq_max_len)
+    x_train.pop("label", None)
+    # list-wise CE target: the positive sits at column 0 of SBC's (B, 1+n_neg) logits
+    y_train = np.zeros(len(x_train["user_id"]), np.int64)
+    x_test = gen_model_input(df_test, user_profile, "user_id", item_profile, "item_id", seq_max_len=seq_max_len)
+    x_test.pop("label", None)
+
+    user_features = (
+        SparseFeature("user_id", vocab_size=n_users, embed_dim=embed_dim),
+        *(SparseFeature(c, vocab_size=int(data[c].max()) + 1, embed_dim=embed_dim) for c in user_sparse),
+        *(DenseFeature(c) for c in user_dense),
+        SequenceFeature("hist_item_id", vocab_size=n_items, embed_dim=embed_dim, pooling="mean", shared_with="item_id"),
+    )
+    item_features = (SparseFeature("item_id", vocab_size=n_items, embed_dim=embed_dim),)
+    sample_weight_feature = (DenseFeature("sample_weight"),)
+    all_weight = item_profile.set_index("item_id")["sample_weight"].reindex(np.arange(n_items), fill_value=float(data["sample_weight"].min())).to_numpy(np.float32)
+    x_all_item = {"item_id": np.arange(n_items), "sample_weight": all_weight}
+    return SBCDatasetBundle(user_features, item_features, sample_weight_feature, x_train, y_train, x_test, x_all_item, x_test)
+
+
 DATASETS = {
     "criteo-sample": build_criteo_ranking_dataset,
     "ml-1m-sample": build_ml1m_matching_dataset,
@@ -312,4 +433,6 @@ DATASETS = {
     "ali-ccp-ctr-sample": build_aliccp_ctr_dataset,
     "ali-ccp-mtl-sample": build_aliccp_multitask_dataset,
     "aliexpress-sample": build_aliexpress_multitask_dataset,
+    "diginetica-sample": build_diginetica_session_dataset,
+    "yidian-news-sample": build_yidian_sbc_dataset,
 }

@@ -21,7 +21,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 from benchmarks.datasets import build_ml1m_matching_dataset
-from torch_rechub_tpu.basic.features import SequenceFeature, SparseFeature
+from torch_rechub_tpu.basic.features import DenseFeature, SequenceFeature, SparseFeature
 from torch_rechub_tpu.models import matching
 from torch_rechub_tpu.serving import match_evaluation
 from torch_rechub_tpu.trainers import MatchTrainer
@@ -39,7 +39,7 @@ def build_model(name, n_users, n_items, d, seq_len):
     if name == "youtube_dnn":
         return matching.YoutubeDNN(user_features=(user_id, hist_mean), item_features=item, neg_item_feature=neg, user_params={"dims": (64, d)}), 2
     if name == "youtube_sbc":
-        weight = (SparseFeature("sample_weight", vocab_size=2, embed_dim=1),)
+        weight = (DenseFeature("sample_weight"),)
         return matching.YoutubeSBC(user_features=(user_id, hist_mean), item_features=item, sample_weight_feature=weight, user_params={"dims": (64, d)}, item_params={"dims": (64, d)}, batch_size=256, n_neg=3), 2
     if name == "gru4rec":
         return matching.GRU4Rec(user_features=(user_id,), history_features=(hist_concat,), item_features=item, neg_item_feature=neg, user_params={"dims": (64, d), "num_layers": 1}), 2
@@ -76,14 +76,18 @@ def main():
     bundle = build_ml1m_matching_dataset(seed=args.seed, embed_dim=args.embed_dim, mode=mode, neg_ratio=args.neg_ratio, seq_max_len=args.seq_max_len)
     x_train, y_train = dict(bundle.x_train), bundle.y_train
     if args.model_name == "youtube_sbc":
-        x_train["sample_weight"] = np.ones(len(x_train["user_id"]), dtype=np.int32)
+        # word2vec sampling-bias weights per item (reference run_ml_youtube_sbc.py:37-38)
+        from torch_rechub_tpu.utils.match import get_item_sample_weight
+
+        weight_map = get_item_sample_weight(list(x_train["movie_id"]))
+        x_train["sample_weight"] = np.array([weight_map[i] for i in x_train["movie_id"]], dtype=np.float32)
 
     trainer = MatchTrainer(model, mode=mode, n_epoch=args.epoch, model_path=args.save_dir)
     trainer.fit(ArrayLoader(x_train, y_train, batch_size=args.batch_size, shuffle=True))
 
     test_x = {k: v for k, v in bundle.x_test_user.items() if not k.startswith("neg")}
     if args.model_name == "youtube_sbc":
-        test_x["sample_weight"] = np.ones(len(test_x["user_id"]), dtype=np.int32)
+        test_x["sample_weight"] = np.full(len(test_x["user_id"]), min(weight_map.values()), dtype=np.float32)
     user_emb = trainer.inference_embedding(model, "user", ArrayLoader(test_x, batch_size=args.batch_size), args.save_dir)
     item_emb = trainer.inference_embedding(model, "item", ArrayLoader(bundle.x_all_item, batch_size=args.batch_size), args.save_dir)
     match_evaluation(user_emb, item_emb, bundle.test_user, bundle.x_all_item, user_col="user_id", item_col="movie_id", topk=args.topk)

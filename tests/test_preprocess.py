@@ -172,3 +172,41 @@ def test_aliexpress_preprocess(tmp_path):
         bad = part.drop(columns=["click"])
         bad.to_csv(p1, index=False)
         mod.convert([str(p1)], str(tmp_path / "out2.csv"))
+
+
+def test_diginetica_preprocess(tmp_path):
+    mod = load_script("diginetica", "preprocess_diginetica.py")
+    rng = np.random.default_rng(0)
+    raw = tmp_path / "train-item-views.csv"
+    frame = pd.DataFrame({
+        "sessionId": rng.integers(1, 5, 20),
+        "userId": ["NA"] * 20,
+        "itemId": rng.integers(100, 120, 20),
+        "timeframe": rng.integers(0, 10**6, 20),
+        "eventdate": "2016-05-09",
+    })
+    frame.to_csv(raw, sep=";", index=False)
+    df = mod.convert(str(raw), str(tmp_path / "out.csv"), n_rows=10)
+    out = pd.read_csv(tmp_path / "out.csv", sep=";")
+    assert list(out.columns) == list(pd.read_csv(os.path.join(DATA_DIR, "diginetica", "train_item_views_sample.csv"), sep=";", nrows=1).columns)
+    assert len(out) == 10
+    with pytest.raises(ValueError):
+        frame.drop(columns=["itemId"]).to_csv(raw, sep=";", index=False)
+        mod.convert(str(raw), str(tmp_path / "out2.csv"))
+
+
+def test_yidian_preprocess(tmp_path):
+    mod = load_script("yidian_news", "preprocess_yidian.py")
+    rng = np.random.default_rng(0)
+    ui = tmp_path / "train_data.txt"
+    users = tmp_path / "user_info.txt"
+    n = 12
+    ui_rows = ["\t".join(map(str, [rng.integers(0, 3), rng.integers(0, 50), 1624843756147, 5, 0, 16, rng.integers(0, 2), rng.integers(0, 60)])) for _ in range(n)]
+    ui.write_text("\n".join(ui_rows))
+    user_rows = ["\t".join([str(u), "DVC-AN20", "Android", "江西", "南昌", "0-12:0.1,13-18:0.2,19-35:0.3,36+:0.4", "female:0.4,male:0.6"]) for u in range(3)]
+    users.write_text("\n".join(user_rows))
+    df = mod.convert(str(ui), str(users), str(tmp_path / "out.csv"), n_rows=10)
+    sample_cols = list(pd.read_csv(os.path.join(DATA_DIR, "yidian_news", "yidian_news_sample.csv"), index_col=0, nrows=1).columns)
+    assert list(df.columns) == sample_cols
+    assert len(df) == 10
+    assert np.allclose(df["age0"], 0.1) and np.allclose(df["male"], 0.6)

@@ -464,6 +464,70 @@ def create_seq_features(data, seq_feature_col=("item_id", "cate_id"), max_len=50
     return (pd.DataFrame(train_data, columns=cols), pd.DataFrame(val_data, columns=cols), pd.DataFrame(test_data, columns=cols))
 
 
+def generate_session_features(data, session_col="session_id", item_col="item_id", time_col="time", min_session_len=2, min_item_freq=5, test_days=7, time_format=None, order_cols=None):
+    """Session-based preprocessing for NARM/STAMP-style recommenders.
+
+    Same pipeline semantics as the reference's session-based preprocessing
+    (``examples/matching/data/session_based/preprocess_session_based.py``):
+    drop sessions shorter than ``min_session_len`` and items seen fewer than
+    ``min_item_freq`` times, hold out the last ``test_days`` days as the test
+    split, fit a 1-based item encoding on TRAIN ONLY (0 = PAD; test events
+    with unseen items are dropped, then short test sessions re-filtered), and
+    group each session into its time-ordered item list.
+
+    Returns ``(train_sessions, test_sessions, n_items)`` where the session
+    lists contain 1-based encoded item-id lists and ``n_items`` is the vocab
+    size including PAD (max id + 1).
+    """
+    import pandas as pd
+
+    df = data[[session_col, item_col, time_col] + list(order_cols or [])].copy()
+    df[time_col] = pd.to_datetime(df[time_col], format=time_format)
+
+    def _filter_session_len(frame, lo):
+        sizes = frame.groupby(session_col)[item_col].transform("size")
+        return frame[sizes >= lo]
+
+    df = _filter_session_len(df, min_session_len)
+    freq = df[item_col].map(df[item_col].value_counts())
+    df = df[freq >= min_item_freq]
+    df = _filter_session_len(df, min_session_len)
+
+    cutoff = df[time_col].max() - pd.Timedelta(days=test_days)
+    train_df, test_df = df[df[time_col] <= cutoff], df[df[time_col] > cutoff]
+
+    encoding = {raw: i + 1 for i, raw in enumerate(sorted(train_df[item_col].unique()))}
+    train_df = train_df.assign(**{item_col: train_df[item_col].map(encoding)})
+    test_df = test_df.assign(**{item_col: test_df[item_col].map(encoding)}).dropna(subset=[item_col])
+    test_df = _filter_session_len(test_df, min_session_len)
+
+    def _sessions(frame):
+        frame = frame.sort_values([session_col, time_col] + list(order_cols or []))
+        return [list(map(int, items)) for items in frame.groupby(session_col)[item_col].agg(list)]
+
+    n_items = int(train_df[item_col].max()) + 1 if len(train_df) else 1
+    return _sessions(train_df), _sessions(test_df), n_items
+
+
+def session_model_input(sessions, max_seq_len=19, hist_col="hist_item_id"):
+    """Prefix-expand sessions into fixed-shape next-item training arrays.
+
+    Reference ``examples/matching/run_sbr.py:24-29`` semantics: a session
+    ``[a, b, c]`` yields histories ``[a]``/``[a, b]`` with targets ``b``/``c``;
+    histories keep their FIRST ``max_seq_len`` items and are zero-post-padded
+    (static shapes for jit — the reference pads dynamically per batch).
+
+    Returns ``({hist_col: (N, max_seq_len) int32}, targets (N,) int64)``.
+    """
+    histories, targets = [], []
+    for sess in sessions:
+        for t in range(1, len(sess)):
+            histories.append(sess[:t][:max_seq_len])
+            targets.append(sess[t])
+    x = pad_sequences(histories, maxlen=max_seq_len, padding="post", truncating="post")
+    return {hist_col: np.asarray(x, np.int32)}, np.asarray(targets, np.int64)
+
+
 def load_embeddings(data_path: str) -> np.ndarray:
     """Load pre-computed embeddings from .npy or .pt (reference ``EmbDataset``)."""
     import os as _os

@@ -45,6 +45,20 @@ def gen_model_input(df, user_profile, user_col, item_profile, item_col, seq_max_
     return input_dict
 
 
+def get_item_sample_weight(items):
+    """Word2vec-style sampling probabilities per item id.
+
+    Reference ``examples/matching/movielens_utils.py:61-67``: normalized
+    ``count**0.75`` frequencies, used by YoutubeSBC as the log-bias
+    correction term (served as a ``DenseFeature('sample_weight')``).
+    """
+    from collections import Counter
+
+    powered = {item: count**0.75 for item, count in Counter(items).items()}
+    total = sum(powered.values())
+    return {item: p / total for item, p in powered.items()}
+
+
 def negative_sample(items_cnt_order, ratio, method_id: int = 0):
     """Draw global negatives by popularity (reference ``utils/match.py:61-101``).
 
