@@ -56,17 +56,28 @@ def bench_shape(b, h, l, dqk, dv, maxl, steps=20, check=True):
 
     results = {}
     for name, fn in (("dense_xla", loss_dense), ("pallas_rab", loss_fused)):
-        vg = jax.jit(jax.value_and_grad(fn, argnums=(0, 1, 2, 3, 4)))
+        vg = jax.value_and_grad(fn, argnums=(0, 1, 2, 3, 4))
+
+        # device-side scan: `steps` fwd+bwd per dispatch, so the measurement
+        # excludes the per-call host->device tunnel RTT (~25ms on axon, which
+        # used to dominate the small shapes); grads fold back into the inputs
+        # to serialize iterations.
+        @jax.jit
+        def run(q, k, v, pos_w, ts_w):
+            def body(carry, _):
+                loss, grads = vg(*carry)
+                new = tuple(c + 0.0 * gg for c, gg in zip(carry, grads))
+                return new, loss
+            carry, losses = jax.lax.scan(body, (q, k, v, pos_w, ts_w), None, length=steps)
+            return jnp.sum(losses) + sum(jnp.sum(c[..., 0]) for c in carry)
+
         try:
-            loss, grads = vg(q, k, v, pos_w, ts_w)
-            _ = float(loss)
+            _ = float(run(q, k, v, pos_w, ts_w))
         except Exception as e:
             results[name] = {"error": str(e)[:120]}
             continue
         t0 = time.perf_counter()
-        for _ in range(steps):
-            loss, grads = vg(q, k, v, pos_w, ts_w)
-        _ = float(loss) + float(jnp.sum(grads[0][0, 0, 0]))
+        _ = float(run(q, k, v, pos_w, ts_w))
         dt = (time.perf_counter() - t0) / steps
         tokens_per_s = b * l / dt
         results[name] = {"ms": round(dt * 1e3, 2), "tokens_per_s": round(tokens_per_s / 1e3, 1)}

@@ -16,13 +16,19 @@ per-position timestamps ``(B, L)``, and reconstructs every bias tile in VMEM:
 
 Backward: blockwise dq and d(k,v) Pallas kernels recompute score tiles in
 VMEM (no O(L^2) HBM in either direction).  The small bias-table gradients are
-fused INTO the dq kernel: position grads via per-row lane rotations into a
-per-tile diagonal window (the Toeplitz transpose of the forward band build),
-time grads via the same bucket-range loop — per-program partials are then
-summed/placed by XLA.  (``_bias_table_grads``/``_skew_diag_sums`` remain as a
-tested XLA reference implementation.)  Measured on a v5e vs the dense XLA
-path, fwd+bwd incl. all five gradients: 15.6x at B8xL256, 2.3-3x at B4xL1024,
-~2.3x at B2xL2048 (block_k=256), with exact-match numerics.
+fused INTO the dq kernel: position grads via log-doubling lane rotations into
+a per-tile diagonal window (the Toeplitz transpose of the forward band
+build), time grads via the same bucket-range loop — per-program partials are
+then summed/placed by XLA.  (``_bias_table_grads``/``_skew_diag_sums`` remain
+as a tested XLA reference implementation.)
+
+Measured on a v5e vs the dense XLA path — fwd+bwd incl. all five gradients,
+timed DEVICE-SIDE (20 steps per dispatch via lax.scan, so per-call transport
+latency is excluded; ``benchmarks/perf/hstu_bench.py``): 1.9x at B8xL256
+(4.3ms), 6.1x at B4xL1024 (10.8ms), 10.5x at B2xL2048 (14.4ms), with
+exact-match numerics; B16xL2048 runs at 304k tokens/s where the dense path
+fails to compile (O(L^2) HBM).  The serial per-row band rolls of the round-2
+version were 85% of forward runtime; log-doubling cut the band build ~29x.
 
 Reference semantics: ``torch_rechub/basic/layers.py:892-916`` (Eq.3) with
 ``torch_rechub/utils/hstu_utils.py:129-166`` (rab^{p,t}).
@@ -109,33 +115,48 @@ def _dense_forward(q, k, v, pos_w, ts_w, timestamps, padding_mask, alpha, max_se
 def _build_band(pw_ref, band_ref, start, rows, cols):
     """``band[i, c] = pos_w[start + (rows-1-i) + c]`` — Toeplitz rows.
 
-    ONE dynamic sublane read fetches the base window; each row is then a
-    dynamic LANE ROTATION (``pltpu.roll`` right by ``w3-(rows-1)+i`` ==
-    left by ``rows-1-i``) — no per-row relayouts, no gathers, and unlike the
-    broadcast/re-stride trick it compiles in O(rows) (the re-stride variant
-    was numerically correct but took minutes of Mosaic compile per shape).
+    ONE dynamic sublane read fetches the base window; the per-row shifts are
+    then applied by LOG-DOUBLING: broadcast the window to every row, roll all
+    rows right by ``w3-(rows-1)`` once, then for each bit ``s`` of the row
+    index roll the whole tile by ``s`` and keep the rolled copy only where
+    the row's bit is set — ``log2(rows)`` vectorized roll+select steps
+    instead of ``rows`` serial per-row rolls (the round-2 version; ~5x less
+    serial VPU work).  No wraparound reaches ``[:, :cols]`` because
+    ``c + rows-1-i < cols + rows``.
     """
     w3 = cols + rows
     base = pw_ref[0, pl.ds(start, w3), 0].reshape(1, w3)
+    tile = jnp.broadcast_to(pltpu.roll(base, w3 - (rows - 1), 1), (rows, w3))
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, w3), 0)
+    s = 1
+    while s < rows:
+        tile = jnp.where((row & s) != 0, pltpu.roll(tile, s, 1), tile)
+        s *= 2
+    band_ref[:, :] = tile[:, :cols]
 
-    def body(i, _):
-        band_ref[i, :] = pltpu.roll(base, w3 - (rows - 1) + i, 1)[0, :cols]
-        return 0
 
-    jax.lax.fori_loop(0, rows, body, 0)
+_TW_CHUNK = 8  # buckets per loop iteration (amortizes fori_loop overhead)
 
 
 def _tw_select(tw_ref, head, bucket):
     """On-the-fly ts_w[bucket] for one tile: accumulate ``ts_w[u] * (bucket==u)``
     over the tile's actual [min, max] bucket range (near-sorted timestamps =>
-    few buckets per tile; correctness holds for any order)."""
+    few buckets per tile; correctness holds for any order).  The range is
+    walked ``_TW_CHUNK`` buckets per iteration; reads past ``hi`` clamp to the
+    last table slot and contribute zero (no bucket matches there)."""
     lo = jnp.min(bucket)
     hi = jnp.max(bucket)
+    last = tw_ref.shape[1] - 1
 
-    def body(u, acc):
-        return acc + tw_ref[head, u] * (bucket == u).astype(jnp.float32)
+    def body(c, acc):
+        u0 = lo + c * _TW_CHUNK
+        for j in range(_TW_CHUNK):
+            u = jnp.minimum(u0 + j, last)
+            acc = acc + tw_ref[head, u] * (bucket == (u0 + j)).astype(jnp.float32)
+        return acc
 
-    return jax.lax.fori_loop(lo, hi + 1, body, jnp.zeros(bucket.shape, jnp.float32))
+    n = (hi - lo + _TW_CHUNK) // _TW_CHUNK
+    return jax.lax.fori_loop(0, n, body, jnp.zeros(bucket.shape, jnp.float32))
 
 
 def _fwd_kernel(pw_ref, tw_ref, ts_ref, q_ref, k_ref, v_ref, mask_ref, out_ref, band_ref, *, alpha, inv_n, block_q, block_k, max_seq_len, cfg, has_time, n_heads):
@@ -177,13 +198,13 @@ def _fwd_kernel(pw_ref, tw_ref, ts_ref, q_ref, k_ref, v_ref, mask_ref, out_ref, 
 # backward kernels (dq; dk/dv) — same tile recompute, transposed loops
 # ---------------------------------------------------------------------------
 
-def _bwd_dq_kernel(pw_ref, tw_ref, ts_ref, q_ref, k_ref, v_ref, g_ref, mask_ref, dq_ref, dpos_ref, dts_ref, band_ref, ds_ref, row_ref, tile_ref, dpos_acc, *, alpha, inv_n, block_q, block_k, max_seq_len, cfg, has_time, n_heads):
+def _bwd_dq_kernel(pw_ref, tw_ref, ts_ref, q_ref, k_ref, v_ref, g_ref, mask_ref, dq_ref, dpos_ref, dts_ref, band_ref, dpos_acc, *, alpha, inv_n, block_q, block_k, max_seq_len, cfg, has_time, n_heads):
     """dq + per-program dpos/dts partials, all from the same recomputed tiles.
 
-    dpos: each ds row is embedded in a (1, l+block_q) window and lane-rotated
-    so element (i, c) of the tile lands at diagonal slot k0+c+(block_q-1-i) —
-    the Toeplitz-transpose of the forward band build.  dts: the bucket-range
-    loop accumulates tile sums per bucket into a sublane column.
+    dpos: each ds tile is lane-rotated by log-doubling so element (i, c)
+    lands at diagonal slot k0+c+(block_q-1-i) — the Toeplitz-transpose of the
+    forward band build.  dts: the bucket-range loop accumulates tile sums per
+    bucket into a sublane column.
     """
     qi = pl.program_id(1)
     head = pl.program_id(0) % n_heads
@@ -192,7 +213,6 @@ def _bwd_dq_kernel(pw_ref, tw_ref, ts_ref, q_ref, k_ref, v_ref, g_ref, mask_ref,
     wp = l + block_q
     center = max_seq_len - 1
     _build_band(pw_ref, band_ref, center - q0 - (block_q - 1), block_q, l)
-    row_ref[0, :] = jnp.zeros((block_q + block_k,), jnp.float32)
     dpos_acc[0, :] = jnp.zeros((wp,), jnp.float32)
     dts_ref[0, 0, :, 0] = jnp.zeros((dts_ref.shape[2],), jnp.float32)
 
@@ -226,26 +246,29 @@ def _bwd_dq_kernel(pw_ref, tw_ref, ts_ref, q_ref, k_ref, v_ref, g_ref, mask_ref,
         if has_time:
             lo = jnp.min(bucket)
             hi = jnp.max(bucket)
+            last = dts_ref.shape[2] - 1  # clamp target for past-`hi` chunk lanes (add 0 there)
 
-            def dts_body(u, _):
-                dts_ref[0, 0, pl.ds(u, 1), 0] += jnp.sum(ds * (bucket == u)).reshape(1)
+            def dts_body(c, _):
+                u0 = lo + c * _TW_CHUNK
+                for j in range(_TW_CHUNK):
+                    u = jnp.minimum(u0 + j, last)
+                    dts_ref[0, 0, pl.ds(u, 1), 0] += jnp.sum(ds * (bucket == (u0 + j))).reshape(1)
                 return 0
 
-            jax.lax.fori_loop(lo, hi + 1, dts_body, 0)
-        ds_ref[:, :] = ds
-
-        # accumulate this tile's diagonal sums in a small (1, bq+bk) window,
-        # then add it once into the program accumulator at lane offset k0
+            jax.lax.fori_loop(0, (hi - lo + _TW_CHUNK) // _TW_CHUNK, dts_body, 0)
+        # accumulate this tile's diagonal sums into a (bq+bk) lane window at
+        # offset k0: element (i, c) lands at slot c + (bq-1-i), i.e. row i
+        # rolls right by (bq-1)-i — done by log-doubling (roll all rows by
+        # bq-1, then per-bit masked rolls left by i), then one column sum
         wt = block_q + block_k
-        tile_ref[0, :] = jnp.zeros((wt,), jnp.float32)
-
-        def dpos_row(i, _):
-            row_ref[0, :block_k] = ds_ref[i, :]
-            tile_ref[0, :] += pltpu.roll(row_ref[:], (block_q - 1) - i, 1)[0]
-            return 0
-
-        jax.lax.fori_loop(0, block_q, dpos_row, 0)
-        dpos_acc[0, pl.ds(k0, wt)] += tile_ref[0, :]
+        x = jnp.concatenate([ds, jnp.zeros((block_q, block_q), jnp.float32)], axis=1)
+        x = pltpu.roll(x, block_q - 1, 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (block_q, wt), 0)
+        sh = 1
+        while sh < block_q:
+            x = jnp.where((row & sh) != 0, pltpu.roll(x, wt - sh, 1), x)
+            sh *= 2
+        dpos_acc[0, pl.ds(k0, wt)] += jnp.sum(x, axis=0)
 
         return dq_acc + jax.lax.dot_general(ds, k_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32) * alpha
 
@@ -395,9 +418,6 @@ def _pallas_backward_qkv(q, k, v, g, pos_w, ts_w, timestamps, mask, alpha, max_s
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, l), jnp.float32),                 # band
-            pltpu.VMEM((block_q, block_k), jnp.float32),            # ds tile
-            pltpu.VMEM((1, block_q + block_k), jnp.float32),        # row window
-            pltpu.VMEM((1, block_q + block_k), jnp.float32),        # tile diag acc
             pltpu.VMEM((1, wp), jnp.float32),                       # dpos accumulator
         ],
         interpret=interpret,
