@@ -283,6 +283,14 @@ def _bwd_dkv_kernel(pw_ref, tw_ref, ts_ref, q_ref, k_ref, v_ref, g_ref, mask_ref
     l = q_ref.shape[1]
     k0 = ki * block_k
     center = max_seq_len - 1
+    # ONE band build per program (not per q-tile): band[i, m] =
+    # pos_w[center + k0 - l + 1 + (bq-1-i) + m]; the q0-tile is then the lane
+    # slice at offset l - block_q - q0, since
+    # (center + k0 - l + 1) + (bq-1-i) + (l - bq - q0 + j) = center + (k0+j) - (q0+i).
+    # Reads stay in [center + k0 - l + 1, center + k0 + bk - 1] ⊆ [0, 2*maxL-2]
+    # because maxL >= l >= block_k.
+    wband = l + block_k - block_q
+    _build_band(pw_ref, band_ref, center + k0 - l + 1, block_q, wband)
 
     k_blk = k_ref[0]  # (block_k, dqk)
     v_blk = v_ref[0]  # (block_k, dv)
@@ -301,10 +309,8 @@ def _bwd_dkv_kernel(pw_ref, tw_ref, ts_ref, q_ref, k_ref, v_ref, g_ref, mask_ref
         q_blk = q_ref[0, pl.ds(q0, block_q), :]
         g_blk = g_ref[0, pl.ds(q0, block_q), :]
 
-        _build_band(pw_ref, band_ref, center + k0 - q0 - (block_q - 1), block_q, block_k)
-
         s = jax.lax.dot_general(q_blk, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        s = s * alpha + band_ref[:, :block_k]
+        s = s * alpha + band_ref[:, pl.ds(l - block_q - q0, block_k)]
         if has_time:
             tq = ts_ref[0, 0, pl.ds(q0, block_q)]
             s = s + _tw_select(tw_ref, head, _bucketize(tq[:, None] - tk[None, :], cfg))
@@ -453,7 +459,7 @@ def _pallas_backward_qkv(q, k, v, g, pos_w, ts_w, timestamps, mask, alpha, max_s
             jax.ShapeDtypeStruct((bh, l, dqk), k.dtype),
             jax.ShapeDtypeStruct((bh, l, dv), v.dtype),
         ],
-        scratch_shapes=[pltpu.VMEM((block_q, block_k), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((block_q, l + block_k - block_q), jnp.float32)],
         interpret=interpret,
     )(pw, tw, ts, qf, kf, vf, gf, maskf)
 
