@@ -10,6 +10,14 @@ TPU design: one jitted donated train step per mode; the in-batch path
 computes the ``(B, B)`` score matrix, samples negatives with a vectorized
 random-top-k, and gathers logits entirely on device.  Matching models emit
 raw scores (no sigmoid); losses are computed from logits.
+
+Negative-pool scope under a mesh (``neg_pool``): with the batch sharded over
+the data axis, the default ``"global"`` pool scores every user against the
+FULL global batch — XLA inserts the item-tower all-gather — which upgrades
+the reference's per-DDP-process pool (``match_trainer.py:118-138``).
+``neg_pool="local"`` restores per-process semantics via ``shard_map``: each
+data shard samples only its own ``(b, b)`` block, trading pool size for zero
+item all-gather traffic on the ICI (see ``utils.match.local_inbatch_loss``).
 """
 
 from __future__ import annotations
@@ -28,21 +36,24 @@ from ..basic.loss import RegularizationLoss, bce_with_logits, bpr_loss, softmax_
 from ..basic.metric import auc_score
 from ..basic.tracking import iter_loggers
 from ..utils.data import pad_batch
-from ..utils.match import gather_inbatch_logits, inbatch_negative_sampling
+from ..utils.match import gather_inbatch_logits, inbatch_negative_sampling, local_inbatch_loss
 from .base import JaxTrainer, TrainState, apply_updates, load_checkpoint, to_numpy
 
 
 class MatchTrainer(JaxTrainer):
     """General matching/retrieval trainer (modes 0/1/2 + in-batch negatives)."""
 
-    def __init__(self, model, mode=0, in_batch_neg=False, in_batch_neg_ratio=None, hard_negative=False, sampler_seed=None, optimizer_params=None, regularization_params=None, scheduler_params=None, n_epoch=10, earlystop_patience=10, model_path="./", model_logger=None, mesh=None, seed=0, steps_per_call=1):
+    def __init__(self, model, mode=0, in_batch_neg=False, in_batch_neg_ratio=None, hard_negative=False, neg_pool="global", sampler_seed=None, optimizer_params=None, regularization_params=None, scheduler_params=None, n_epoch=10, earlystop_patience=10, model_path="./", model_logger=None, mesh=None, seed=0, steps_per_call=1):
         super().__init__(model, optimizer_params, scheduler_params, n_epoch, earlystop_patience, model_path, mesh, seed, model_logger)
         if mode not in (0, 1, 2):
             raise ValueError(f"mode only contain value in [0, 1, 2], but got {mode}")
+        if neg_pool not in ("global", "local"):
+            raise ValueError(f"neg_pool must be 'global' or 'local', got {neg_pool!r}")
         self.mode = mode
         self.in_batch_neg = in_batch_neg
         self.in_batch_neg_ratio = in_batch_neg_ratio
         self.hard_negative = hard_negative
+        self.neg_pool = neg_pool
         self.sampler_seed = sampler_seed if sampler_seed is not None else seed
         self.reg_loss_fn = RegularizationLoss(**(regularization_params or {}))
         self.early_stopper = EarlyStopper(patience=earlystop_patience)
@@ -59,6 +70,9 @@ class MatchTrainer(JaxTrainer):
         model, mode, reg = self.model, self.mode, self.reg_loss_fn
         in_batch = self.in_batch_neg
         neg_ratio, hard = self.in_batch_neg_ratio, self.hard_negative
+        mesh = self.mesh
+        # local pool only differs from global when the batch actually shards
+        local_pool = self.neg_pool == "local" and mesh is not None and mesh.shape.get("data", 1) > 1
 
         def apply_model(params, batch_stats, x, rng, method=None, **kwargs):
             variables = {"params": params, "batch_stats": batch_stats}
@@ -69,13 +83,17 @@ class MatchTrainer(JaxTrainer):
                 (user_emb, item_emb), mutated = apply_model(params, batch_stats, x, rng, method="towers")
                 user_emb = user_emb.reshape(user_emb.shape[0], -1) if user_emb.ndim == 3 and user_emb.shape[1] == 1 else user_emb
                 item_emb = item_emb.reshape(item_emb.shape[0], -1) if item_emb.ndim == 3 and item_emb.shape[1] == 1 else item_emb
-                scores = user_emb @ item_emb.T  # (B, B)
-                neg_idx = inbatch_negative_sampling(scores, neg_ratio=neg_ratio, hard_negative=hard, rng=sample_rng)
-                logits = gather_inbatch_logits(scores, neg_idx)
-                if mode == 1:
-                    loss = bpr_loss(logits[:, 0], logits[:, 1:], weight=w)
+                if local_pool:
+                    w_arr = jnp.ones(user_emb.shape[0], user_emb.dtype) if w is None else w
+                    loss = local_inbatch_loss(user_emb, item_emb, w_arr, sample_rng, mesh, mode, neg_ratio=neg_ratio, hard_negative=hard)
                 else:
-                    loss = softmax_cross_entropy(logits, jnp.zeros(logits.shape[0], jnp.int32), weight=w)
+                    scores = user_emb @ item_emb.T  # (B, B) — global batch under SPMD jit
+                    neg_idx = inbatch_negative_sampling(scores, neg_ratio=neg_ratio, hard_negative=hard, rng=sample_rng)
+                    logits = gather_inbatch_logits(scores, neg_idx)
+                    if mode == 1:
+                        loss = bpr_loss(logits[:, 0], logits[:, 1:], weight=w)
+                    else:
+                        loss = softmax_cross_entropy(logits, jnp.zeros(logits.shape[0], jnp.int32), weight=w)
             elif mode == 1:
                 (pos_score, neg_score), mutated = apply_model(params, batch_stats, x, rng)
                 loss = bpr_loss(pos_score, neg_score, weight=w)

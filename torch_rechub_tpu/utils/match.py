@@ -181,6 +181,50 @@ def gather_inbatch_logits(scores: jax.Array, neg_indices: jax.Array) -> jax.Arra
     return jnp.concatenate([pos, neg], axis=1)
 
 
+def inbatch_loss_from_logits(logits: jax.Array, mode: int, weight=None):
+    """Weighted-sum/weight-sum pair for the ``(B, 1+K)`` in-batch logits.
+
+    Returning the two sums (instead of the mean) lets callers combine shards
+    exactly with ``psum`` — a mean of per-shard means would be wrong whenever
+    pad-mask weights differ across shards.
+    """
+    if mode == 1:  # pair-wise BPR: positive column vs every sampled negative
+        per_sample = -jnp.mean(jax.nn.log_sigmoid(logits[:, :1] - logits[:, 1:]), axis=1)
+    else:  # list-wise CE with the positive fixed at column 0
+        per_sample = -jax.nn.log_softmax(logits, axis=-1)[:, 0]
+    w = jnp.ones_like(per_sample) if weight is None else weight.astype(per_sample.dtype).reshape(per_sample.shape)
+    return jnp.sum(per_sample * w), jnp.sum(w)
+
+
+def local_inbatch_loss(user_emb, item_emb, weight, rng, mesh, mode: int, neg_ratio: Optional[int] = None, hard_negative: bool = False, data_axis: str = "data"):
+    """In-batch loss with a PER-SHARD negative pool (reference-DDP semantics).
+
+    Under SPMD ``jit`` the plain ``user_emb @ item_emb.T`` path already spans
+    the GLOBAL batch — XLA all-gathers the item tower over the data axis, so
+    the default pool is an upgrade over the reference's per-process pool
+    (``torch_rechub/trainers/match_trainer.py:118-138`` only ever sees the
+    local DDP batch).  This function restores those per-process semantics the
+    TPU way: a ``shard_map`` over the data axis computes a local ``(b, b)``
+    score matrix per shard (no item all-gather rides the ICI), samples
+    negatives with a shard-unique key, and combines shard losses exactly via
+    ``psum`` of weighted-sum/weight-sum.  Gradients flow through ``shard_map``
+    (it is differentiable), so the call sits directly inside a trainer
+    ``loss_fn``.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def shard_fn(u, it, w, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(data_axis))
+        scores = u @ it.T  # (b, b): this shard's batch only
+        neg_idx = inbatch_negative_sampling(scores, neg_ratio=neg_ratio, hard_negative=hard_negative, rng=key)
+        logits = gather_inbatch_logits(scores, neg_idx)
+        loss_sum, w_sum = inbatch_loss_from_logits(logits, mode, weight=w)
+        return jax.lax.psum(loss_sum, data_axis), jax.lax.psum(w_sum, data_axis)
+
+    loss_sum, w_sum = jax.shard_map(shard_fn, mesh=mesh, in_specs=(P(data_axis), P(data_axis), P(data_axis), P()), out_specs=(P(), P()))(user_emb, item_emb, weight, rng)
+    return loss_sum / jnp.maximum(w_sum, 1e-12)
+
+
 # ---------------------------------------------------------------------------
 # Legacy ANN engine wrappers (fit/query API used by example/benchmark eval;
 # reference ``utils/match.py:252-497``).  Delegate to the serving backends.
