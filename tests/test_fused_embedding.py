@@ -125,3 +125,31 @@ def test_fused_table_row_shards_on_mesh():
     shardings = param_shardings(variables["params"], mesh)
     spec = shardings["fused_d8_table"].spec
     assert spec[0] == "model"
+
+
+def test_auto_layout_mixes_fused_and_per_feature():
+    """'auto' (the default): >=262144-row tables fuse, small ones stay
+    per-feature params; numerics identical to the per-feature layout."""
+    from torch_rechub_tpu.ops.embedding import _FUSED_AUTO_MIN_ROWS, _FUSED_DEFAULT
+
+    assert _FUSED_DEFAULT[0] == "auto"
+    big_v = _FUSED_AUTO_MIN_ROWS
+    feats = (SparseFeature("big", big_v, embed_dim=8), SparseFeature("tiny", 40, embed_dim=8))
+    rng = np.random.default_rng(1)
+    x = {
+        "big": jnp.asarray(rng.integers(0, big_v, 6)),
+        "tiny": jnp.asarray(rng.integers(0, 40, 6)),
+    }
+    auto = EmbeddingCollection(features=feats)  # default == "auto"
+    avars = auto.init(jax.random.PRNGKey(0), x, feats)
+    assert sorted(avars["params"].keys()) == ["fused_d8_table", "tiny_table"]
+
+    unfused = EmbeddingCollection(features=feats, fused=False)
+    uvars = unfused.init(jax.random.PRNGKey(0), x, feats)
+    fused_big = np.array(avars["params"]["fused_d8_table"])
+    fused_big[:big_v] = np.asarray(uvars["params"]["big_table"])
+    aparams = {"fused_d8_table": jnp.asarray(fused_big), "tiny_table": uvars["params"]["tiny_table"]}
+
+    a = auto.apply({"params": aparams}, x, feats)
+    b = unfused.apply(uvars, x, feats)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)

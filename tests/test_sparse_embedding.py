@@ -18,6 +18,17 @@ from torch_rechub_tpu.trainers import CTRTrainer
 from torch_rechub_tpu.utils.data import ArrayLoader
 
 
+@pytest.fixture(autouse=True)
+def _fuse_all_tables():
+    """These tests use tiny vocabs; force-fuse so sparse hooks exist (the
+    'auto' default only fuses tables >= 262144 rows)."""
+    from torch_rechub_tpu.ops.embedding import set_fused_default
+
+    old = set_fused_default(True)
+    yield
+    set_fused_default(old)
+
+
 def test_sparse_sgd_matches_dense_sgd():
     rng = np.random.default_rng(0)
     table = jnp.asarray(rng.normal(size=(64, 8)).astype(np.float32))

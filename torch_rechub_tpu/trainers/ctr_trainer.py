@@ -196,7 +196,7 @@ class CTRTrainer(JaxTrainer):
 
                 tables_flat, rest_flat = su.split_fused_tables(self.state.params)
                 if not tables_flat:
-                    raise ValueError("sparse_embedding requires fused embedding tables (EmbeddingCollection fused mode)")
+                    raise ValueError("sparse_embedding requires fused embedding tables; the default 'auto' layout only fuses tables with >=262144 rows — call ops.embedding.set_fused_default(True) before building the model to fuse everything")
                 # optax state over dense params only + row-wise accumulators
                 opt_state = (self.tx.init(rest_flat), su.init_accumulators(tables_flat))
                 self.state = self.state.replace(opt_state=opt_state)
