@@ -153,3 +153,34 @@ def test_auto_layout_mixes_fused_and_per_feature():
     a = auto.apply({"params": aparams}, x, feats)
     b = unfused.apply(uvars, x, feats)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+def test_invalid_fused_value_rejected():
+    import pytest
+
+    coll = EmbeddingCollection(features=FEATS, fused="Auto")  # typo'd string
+    with pytest.raises(ValueError, match="fused must be"):
+        coll.init(jax.random.PRNGKey(0), batch(), CALL_FEATS, squeeze_dim=True)
+
+
+def test_checkpoint_layout_mismatch_raises_migration_hint(tmp_path):
+    """A fused-layout checkpoint must fail with the set_fused_default hint
+    when loaded into a per-feature model (and vice versa)."""
+    import pytest
+
+    from torch_rechub_tpu.trainers.base import load_checkpoint, save_checkpoint
+
+    x = batch()
+    fused = EmbeddingCollection(features=FEATS, fused=True)
+    fvars = fused.init(jax.random.PRNGKey(0), x, CALL_FEATS, squeeze_dim=True)
+    save_checkpoint(str(tmp_path), {"params": fvars["params"]})
+
+    unfused = EmbeddingCollection(features=FEATS, fused=False)
+    uvars = unfused.init(jax.random.PRNGKey(0), x, CALL_FEATS, squeeze_dim=True)
+    with pytest.raises(ValueError, match="set_fused_default"):
+        load_checkpoint(str(tmp_path), {"params": uvars["params"]})
+
+    # reverse direction
+    save_checkpoint(str(tmp_path), {"params": uvars["params"]}, name="u.msgpack")
+    with pytest.raises(ValueError, match="set_fused_default"):
+        load_checkpoint(str(tmp_path), {"params": fvars["params"]}, name="u.msgpack")

@@ -56,11 +56,12 @@ _FUSED_ROW_MULTIPLE = 64
 _FUSED_AUTO_MIN_ROWS = 262144
 
 
-def set_fused_default(value) -> bool:
+def set_fused_default(value):
     """Set the process-wide default table layout; returns the previous value.
 
     Accepts ``True`` (fuse everything), ``False`` (per-feature tables), or
-    ``"auto"`` (fuse only tables with >= ``_FUSED_AUTO_MIN_ROWS`` rows).
+    ``"auto"`` (fuse only tables with >= ``_FUSED_AUTO_MIN_ROWS`` rows);
+    returns the previous value (same ``True | False | "auto"`` domain).
     """
     if value not in (True, False, "auto"):
         raise ValueError(f"fused default must be True, False or 'auto', got {value!r}")
@@ -122,6 +123,8 @@ class EmbeddingCollection(nn.Module):
             specs[owner] = fea
         self._specs = specs
         mode = self.fused if self.fused is not None else _FUSED_DEFAULT[0]
+        if mode not in (True, False, "auto"):
+            raise ValueError(f"fused must be True, False or 'auto', got {mode!r}")
         if mode == "auto":
             to_fuse = {o: f for o, f in specs.items() if f.vocab_size >= _FUSED_AUTO_MIN_ROWS}
         elif mode:

@@ -93,10 +93,43 @@ def save_checkpoint(path: str, variables: Dict, name: str = "model.msgpack") -> 
     return target
 
 
+def _tree_keys(tree, prefix=""):
+    if isinstance(tree, dict):
+        out = set()
+        for k, v in tree.items():
+            out |= _tree_keys(v, f"{prefix}/{k}")
+        return out or {prefix}
+    return {prefix}
+
+
 def load_checkpoint(path: str, template: Dict, name: str = "model.msgpack") -> Dict:
     target = path if os.path.isfile(path) else os.path.join(path, name)
     with open(target, "rb") as f:
-        return flax.serialization.from_bytes(template, f.read())
+        data = f.read()
+    try:
+        return flax.serialization.from_bytes(template, data)
+    except (ValueError, KeyError) as e:
+        # Diagnose the most common structural break: a checkpoint written
+        # under a different embedding-table layout ("fused" vs per-feature —
+        # the default changed to "auto" in round 3; see docs/EMBEDDING.md).
+        try:
+            raw = flax.serialization.msgpack_restore(data)
+        except Exception:
+            raise e
+        ckpt_keys, tmpl_keys = _tree_keys(raw), _tree_keys(template)
+        ckpt_fused = any("fused_d" in k and k.endswith("_table") for k in ckpt_keys)
+        tmpl_fused = any("fused_d" in k and k.endswith("_table") for k in tmpl_keys)
+        if ckpt_fused != tmpl_fused:
+            want = "set_fused_default(True)" if ckpt_fused else "set_fused_default(False)"
+            raise ValueError(
+                f"checkpoint {target!r} was saved with a {'fused' if ckpt_fused else 'per-feature'} "
+                f"embedding-table layout but the model was built with the "
+                f"{'fused' if tmpl_fused else 'per-feature'} layout (the default became 'auto' and "
+                f"fuses only tables with >=262144 rows). Rebuild the model under the checkpoint's "
+                f"layout — call torch_rechub_tpu.ops.embedding.{want} (or pass fused=... to the "
+                f"model/EmbeddingCollection) before constructing it, then load again."
+            ) from e
+        raise
 
 
 class JaxTrainer:

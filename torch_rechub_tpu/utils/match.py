@@ -221,7 +221,10 @@ def local_inbatch_loss(user_emb, item_emb, weight, rng, mesh, mode: int, neg_rat
         loss_sum, w_sum = inbatch_loss_from_logits(logits, mode, weight=w)
         return jax.lax.psum(loss_sum, data_axis), jax.lax.psum(w_sum, data_axis)
 
-    loss_sum, w_sum = jax.shard_map(shard_fn, mesh=mesh, in_specs=(P(data_axis), P(data_axis), P(data_axis), P()), out_specs=(P(), P()))(user_emb, item_emb, weight, rng)
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is None:  # jax < 0.4.35 only exports the experimental alias
+        from jax.experimental.shard_map import shard_map
+    loss_sum, w_sum = shard_map(shard_fn, mesh=mesh, in_specs=(P(data_axis), P(data_axis), P(data_axis), P()), out_specs=(P(), P()))(user_emb, item_emb, weight, rng)
     return loss_sum / jnp.maximum(w_sum, 1e-12)
 
 
