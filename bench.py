@@ -1,4 +1,17 @@
-"""Headline benchmark: DeepFM CTR training throughput (examples/s/chip).
+"""Headline benchmarks: DeepFM CTR training throughput (examples/s/chip).
+
+Two configs, two JSON lines (the driver parses the LAST line):
+
+1. ``deepfm_criteo_full_embedding_examples_per_s_chip`` — **production
+   embedding path**: Criteo-full-shaped power-law vocabs (3 tables >= 1M
+   rows, 8.45M fused rows total), ``fused="auto"`` layout (large tables in
+   one fused (ΣV, D) param, small ones per-feature), **row-wise Adagrad
+   sparse updates** for the fused tables (``ops/sparse_update.py``) and
+   zipf-distributed fresh ids every step.  This is the config the sharded/
+   sparse embedding engine exists for.
+2. ``deepfm_criteo_train_examples_per_s_chip`` — small-table config (26 x
+   10k-row tables, all per-feature under the auto layout): measures the
+   small-table fast path; kept as the historical headline.
 
 Honest methodology (round-2 rework):
 - streams FRESH batches through the real trainer path (`train_one_epoch` →
@@ -10,9 +23,10 @@ Honest methodology (round-2 rework):
 - reports the MEDIAN over epochs; spread (max-min)/median is printed to
   stderr together with an arithmetic FLOPs/MFU estimate.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` compares against the reference torch-rechub DeepFM on CPU
-measured in this container (14380.7 examples/s, batch 4096 — see BASELINE.md).
+``vs_baseline`` compares each config against the reference torch-rechub
+DeepFM on this container's CPU at the SAME table geometry (measured with
+`/tmp/ref_bench.py` ≈ 14,380.7 ex/s for the small config and
+`/tmp/ref_bench_full.py` for the Criteo-full-shaped config — see BASELINE.md).
 """
 
 from __future__ import annotations
@@ -23,28 +37,46 @@ import time
 
 import numpy as np
 
-REFERENCE_EXAMPLES_PER_S = 14380.7  # torch-rechub DeepFM, torch CPU, this container
+REFERENCE_EXAMPLES_PER_S = 14380.7  # torch-rechub DeepFM, torch CPU, small tables
+REFERENCE_FULL_EXAMPLES_PER_S = 10944.0  # same, Criteo-full-shaped vocabs (see BASELINE.md)
 
 B, N_SPARSE, N_DENSE, VOCAB, DIM = 4096, 26, 13, 10000, 16
 N_BATCHES = 192  # fresh examples per epoch = N_BATCHES * B ≈ 786k
 EPOCHS = 5  # median over these
 V5E_BF16_PEAK = 197e12
 
+# Criteo-full-shaped geometry: power-law vocabs, 3 tables >= 1M rows.  Under
+# the "auto" layout the 6 tables >= 262144 rows fuse into one (8.45M, 16)
+# param (row-shardable, sparse-updatable); the other 20 stay per-feature.
+VOCABS_FULL = [4_000_000, 2_000_000, 1_000_000, 500_000, 300_000, 300_000, 200_000, 100_000, 50_000, 50_000] + [10_000] * 16
 
-def deepfm_flops_per_example() -> float:
+
+def deepfm_flops_per_example(n_sparse=N_SPARSE) -> float:
     """Arithmetic fwd+bwd FLOPs per example for this DeepFM config."""
-    d_in = N_SPARSE * DIM + N_DENSE  # 429
+    d_in = n_sparse * DIM + N_DENSE
     mlp = d_in * 256 + 256 * 128 + 128 * 1
-    fm = N_SPARSE * DIM * 2  # sum/square-sum interaction
+    fm = n_sparse * DIM * 2  # sum/square-sum interaction
     fwd = 2 * mlp + fm
     return 3.0 * fwd  # bwd ≈ 2x fwd
 
 
-def main():
+def _run_epochs(trainer, loader, n):
+    trainer.train_one_epoch(loader, log_interval=0)  # compile + warmup epoch
+    times = []
+    for _ in range(EPOCHS):
+        t0 = time.perf_counter()
+        trainer.train_one_epoch(loader, log_interval=0)  # returns host float (sync)
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+    return n / med, (max(times) - min(times)) / med
+
+
+def bench_small():
+    """Small-table config (historical headline)."""
     from torch_rechub_tpu.basic.features import DenseFeature, SparseFeature
     from torch_rechub_tpu.models.ranking import DeepFM
     from torch_rechub_tpu.trainers.ctr_trainer import CTRTrainer
-    from torch_rechub_tpu.utils.data import ArrayLoader
+    from torch_rechub_tpu.utils.data import ArrayLoader, DeviceCachedLoader
 
     rng = np.random.default_rng(0)
     n = N_BATCHES * B
@@ -55,40 +87,71 @@ def main():
     sparse = tuple(SparseFeature(f"C{i}", vocab_size=VOCAB, embed_dim=DIM) for i in range(N_SPARSE))
     dense = tuple(DenseFeature(f"I{i}") for i in range(N_DENSE))
     model = DeepFM(deep_features=dense, fm_features=sparse, mlp_params={"dims": (256, 128), "dropout": 0.0, "activation": "relu"})
-
-    from torch_rechub_tpu.utils.data import DeviceCachedLoader
-
     trainer = CTRTrainer(model, n_epoch=1, model_path="/tmp/bench_model", steps_per_call=64)
 
-    def run_epochs(loader):
-        trainer.train_one_epoch(loader, log_interval=0)  # compile + warmup epoch
-        times = []
-        for _ in range(EPOCHS):
-            t0 = time.perf_counter()
-            trainer.train_one_epoch(loader, log_interval=0)  # returns host float (sync)
-            times.append(time.perf_counter() - t0)
-        med = float(np.median(times))
-        return n / med, (max(times) - min(times)) / med
-
     # host-streamed pipeline (fresh uploads each step, prefetch overlap)
-    streamed_eps, streamed_spread = run_epochs(ArrayLoader(x, y, batch_size=B, shuffle=False))
+    streamed_eps, streamed_spread = _run_epochs(trainer, ArrayLoader(x, y, batch_size=B, shuffle=False), n)
     # device-resident dataset (one upfront upload, fresh batch every step)
-    cached_eps, spread = run_epochs(DeviceCachedLoader(x, y, batch_size=B, group_size=64))
+    cached_eps, spread = _run_epochs(trainer, DeviceCachedLoader(x, y, batch_size=B, group_size=64), n)
     print(f"# host-streamed: {streamed_eps:,.0f} ex/s (spread {streamed_spread:.1%}) — bounded by H2D over the device transport", file=sys.stderr)
-    examples_per_s = cached_eps
 
-    flops = examples_per_s * deepfm_flops_per_example()
+    flops = cached_eps * deepfm_flops_per_example()
     print(
-        f"# device-cached dataset; median over {EPOCHS} epochs of {n} fresh examples; spread {spread:.1%}; "
+        f"# small-table config: device-cached dataset; median over {EPOCHS} epochs of {n} fresh examples; spread {spread:.1%}; "
         f"~{flops / 1e12:.2f} TFLOP/s ≈ {flops / V5E_BF16_PEAK:.2%} of v5e bf16 peak "
         f"(f32 model, embedding+input-bound workload)",
         file=sys.stderr,
     )
+    return cached_eps
+
+
+def bench_criteo_full():
+    """Production embedding path: power-law vocabs, fused layout, sparse Adagrad."""
+    from torch_rechub_tpu.basic.features import DenseFeature, SparseFeature
+    from torch_rechub_tpu.models.ranking import DeepFM
+    from torch_rechub_tpu.trainers.ctr_trainer import CTRTrainer
+    from torch_rechub_tpu.utils.data import DeviceCachedLoader
+
+    rng = np.random.default_rng(0)
+    n = N_BATCHES * B
+    x = {}
+    for i, v in enumerate(VOCABS_FULL):
+        # zipf-distributed ids: heavy head, long tail — the access pattern the
+        # row-wise sparse updates + dedup are designed for
+        x[f"C{i}"] = (rng.zipf(1.2, n) % v).astype(np.int32)
+    x.update({f"I{i}": rng.normal(size=n).astype(np.float32) for i in range(N_DENSE)})
+    y = rng.integers(0, 2, n).astype(np.float32)
+
+    sparse = tuple(SparseFeature(f"C{i}", vocab_size=v, embed_dim=DIM) for i, v in enumerate(VOCABS_FULL))
+    dense = tuple(DenseFeature(f"I{i}") for i in range(N_DENSE))
+    model = DeepFM(deep_features=dense, fm_features=sparse, mlp_params={"dims": (256, 128), "dropout": 0.0, "activation": "relu"})
+    trainer = CTRTrainer(model, n_epoch=1, model_path="/tmp/bench_model_full", steps_per_call=64, sparse_embedding="adagrad")
+
+    eps, spread = _run_epochs(trainer, DeviceCachedLoader(x, y, batch_size=B, group_size=64), n)
+    fused_rows = sum(v for v in VOCABS_FULL if v >= 262144)
+    print(
+        f"# criteo-full config: {len(VOCABS_FULL)} tables, {fused_rows / 1e6:.2f}M fused rows "
+        f"(+{sum(v for v in VOCABS_FULL if v < 262144) / 1e3:.0f}k per-feature rows), row-wise Adagrad sparse "
+        f"updates, fresh zipf ids; median over {EPOCHS} epochs of {n} examples; spread {spread:.1%}",
+        file=sys.stderr,
+    )
+    return eps
+
+
+def main():
+    full_eps = bench_criteo_full()
+    print(json.dumps({
+        "metric": "deepfm_criteo_full_embedding_examples_per_s_chip",
+        "value": round(full_eps, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(full_eps / REFERENCE_FULL_EXAMPLES_PER_S, 3),
+    }))
+    small_eps = bench_small()
     print(json.dumps({
         "metric": "deepfm_criteo_train_examples_per_s_chip",
-        "value": round(examples_per_s, 1),
+        "value": round(small_eps, 1),
         "unit": "examples/s",
-        "vs_baseline": round(examples_per_s / REFERENCE_EXAMPLES_PER_S, 3),
+        "vs_baseline": round(small_eps / REFERENCE_EXAMPLES_PER_S, 3),
     }))
 
 

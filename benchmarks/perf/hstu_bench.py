@@ -27,11 +27,11 @@ from torch_rechub_tpu.ops.pallas.hstu_rab_attention import BucketCfg, _dense_for
 CFG = BucketCfg(num_buckets=128, fn="sqrt", divisor=1.0, unit="minutes")
 
 
-def make_inputs(b, h, l, dqk, dv, maxl, seed=0):
+def make_inputs(b, h, l, dqk, dv, maxl, seed=0, dtype=jnp.float32):
     rng = np.random.default_rng(seed)
-    q = jnp.asarray(rng.normal(size=(b, h, l, dqk)).astype(np.float32)) * 0.3
-    k = jnp.asarray(rng.normal(size=(b, h, l, dqk)).astype(np.float32)) * 0.3
-    v = jnp.asarray(rng.normal(size=(b, h, l, dv)).astype(np.float32)) * 0.3
+    q = jnp.asarray(rng.normal(size=(b, h, l, dqk)).astype(np.float32), dtype) * 0.3
+    k = jnp.asarray(rng.normal(size=(b, h, l, dqk)).astype(np.float32), dtype) * 0.3
+    v = jnp.asarray(rng.normal(size=(b, h, l, dv)).astype(np.float32), dtype) * 0.3
     pos_w = jnp.asarray(rng.normal(size=(2 * maxl - 1, h)).astype(np.float32)) * 0.1
     ts_w = jnp.asarray(rng.normal(size=(CFG.num_buckets + 1, h)).astype(np.float32)) * 0.1
     ts = jnp.asarray(np.sort(rng.integers(0, 30_000_000, (b, l)), axis=1).astype(np.int32))
@@ -40,8 +40,24 @@ def make_inputs(b, h, l, dqk, dv, maxl, seed=0):
     return q, k, v, pos_w, ts_w, ts, mask
 
 
-def bench_shape(b, h, l, dqk, dv, maxl, steps=20, check=True):
-    q, k, v, pos_w, ts_w, ts, mask = make_inputs(b, h, l, dqk, dv, maxl)
+V5E_BF16_PEAK = 197e12
+
+
+def attention_train_flops(b, h, l, dqk, dv):
+    """Arithmetic fwd+bwd matmul FLOPs of the causal silu attention.
+
+    Nine L x L matmuls per (batch, head) — fwd: QK^T, PV; bwd dq: score
+    recompute, dattn = g V^T, dq = ds K; bwd dkv: score recompute, dattn,
+    dv = attn^T g, dk = ds^T q — each 2 * (L^2/2 causal) * d FLOPs.
+    """
+    per_mm = l * l * 0.5 * 2  # causal half, 2 FLOPs per MAC
+    return b * h * per_mm * (2 * dqk + 1 * dv          # fwd
+                             + 2 * dqk + 1 * dv        # dq pass
+                             + 2 * dqk + 2 * dv)       # dkv pass
+
+
+def bench_shape(b, h, l, dqk, dv, maxl, steps=20, check=True, dtype=jnp.float32):
+    q, k, v, pos_w, ts_w, ts, mask = make_inputs(b, h, l, dqk, dv, maxl, dtype=dtype)
     alpha = 1.0 / np.sqrt(dqk)
 
     block_k = 256 if l % 256 == 0 else 128
@@ -80,13 +96,15 @@ def bench_shape(b, h, l, dqk, dv, maxl, steps=20, check=True):
         _ = float(run(q, k, v, pos_w, ts_w))
         dt = (time.perf_counter() - t0) / steps
         tokens_per_s = b * l / dt
-        results[name] = {"ms": round(dt * 1e3, 2), "tokens_per_s": round(tokens_per_s / 1e3, 1)}
+        mfu = attention_train_flops(b, h, l, dqk, dv) / dt / V5E_BF16_PEAK
+        results[name] = {"ms": round(dt * 1e3, 2), "tokens_per_s": round(tokens_per_s / 1e3, 1), "mfu_vs_bf16_peak": round(mfu, 4)}
         if check and name == "pallas_rab" and "error" not in results["dense_xla"]:
             lf, gf = jax.jit(jax.value_and_grad(loss_fused, argnums=(0, 3, 4)))(q, k, v, pos_w, ts_w)
             ld, gd = jax.jit(jax.value_and_grad(loss_dense, argnums=(0, 3, 4)))(q, k, v, pos_w, ts_w)
-            ok = np.allclose(float(lf), float(ld), rtol=1e-3)
+            rtol, atol = (1e-3, 3e-4) if dtype == jnp.float32 else (4e-2, 4e-3)
+            ok = np.allclose(float(lf), float(ld), rtol=max(rtol, 1e-3))
             for a, bb in zip(gf, gd):
-                ok = ok and np.allclose(np.asarray(a), np.asarray(bb), rtol=3e-3, atol=3e-4)
+                ok = ok and np.allclose(np.asarray(a, np.float32), np.asarray(bb, np.float32), rtol=3 * rtol, atol=atol)
             results[name]["numerics_ok"] = bool(ok)
     return results
 
@@ -94,8 +112,10 @@ def bench_shape(b, h, l, dqk, dv, maxl, steps=20, check=True):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--check-only", action="store_true")
+    ap.add_argument("--precision", choices=["f32", "bf16"], default="f32")
     args = ap.parse_args()
-    print(f"# backend={jax.default_backend()}", flush=True)
+    dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    print(f"# backend={jax.default_backend()} precision={args.precision}", flush=True)
     shapes = [
         # (B, H, L, dqk, dv, maxL)
         (8, 8, 256, 64, 64, 256),
@@ -104,7 +124,7 @@ def main():
         (16, 8, 2048, 64, 64, 2048),  # dense XLA OOMs here; pallas is O(L) memory
     ]
     for b, h, l, dqk, dv, maxl in shapes:
-        r = bench_shape(b, h, l, dqk, dv, maxl, steps=5 if args.check_only else 20)
+        r = bench_shape(b, h, l, dqk, dv, maxl, steps=5 if args.check_only else 20, dtype=dtype)
         speed = None
         if "ms" in r.get("dense_xla", {}) and "ms" in r.get("pallas_rab", {}):
             speed = round(r["dense_xla"]["ms"] / r["pallas_rab"]["ms"], 2)

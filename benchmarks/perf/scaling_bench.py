@@ -58,12 +58,14 @@ def run(n_data: int):
     trainer = CTRTrainer(model, n_epoch=1, model_path="/tmp/scaling_bench", steps_per_call=16, mesh=mesh)
     loader = DeviceCachedLoader(x, y, batch_size=batch, group_size=16, mesh=mesh)
     trainer.train_one_epoch(loader, log_interval=0)  # compile + warmup
+    repeats = int(os.environ.get("SCALING_BENCH_REPEATS", "5"))
     times = []
-    for _ in range(3):
+    for _ in range(repeats):
         t0 = time.perf_counter()
         trainer.train_one_epoch(loader, log_interval=0)
         times.append(time.perf_counter() - t0)
-    return n / float(np.median(times))
+    med = float(np.median(times))
+    return n / med, (max(times) - min(times)) / med
 
 
 def main():
@@ -71,11 +73,11 @@ def main():
     sizes = [s for s in (1, 2, 4, 8) if s <= jax.device_count()]
     base = None
     for s in sizes:
-        eps = run(s)
+        eps, spread = run(s)
         if base is None:
             base = eps
         eff = eps / (base * s)
-        print(json.dumps({"data_parallel": s, "examples_per_s": round(eps, 0), "per_device": round(eps / s, 0), "efficiency_vs_1dev": round(eff, 3)}), flush=True)
+        print(json.dumps({"data_parallel": s, "examples_per_s": round(eps, 0), "per_device": round(eps / s, 0), "efficiency_vs_1dev": round(eff, 3), "spread": round(spread, 3)}), flush=True)
 
 
 if __name__ == "__main__":

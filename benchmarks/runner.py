@@ -92,7 +92,7 @@ def run_matching_benchmark(config: dict) -> dict:
     item_emb = trainer.inference_embedding(model, "item", ArrayLoader(bundle.x_all_item, batch_size=bs), config.get("output_dir", "/tmp/bench_out"))
     infer_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    metrics = evaluate_retrieval(user_emb, item_emb, bundle.test_user, bundle.x_all_item, "user_id", "movie_id", config.get("topk", 10))
+    metrics = evaluate_retrieval(user_emb, item_emb, bundle.test_user, bundle.x_all_item, "user_id", "movie_id", config.get("topk", 10), beyond_accuracy=bool(config.get("beyond_accuracy", False)))
     eval_s = time.perf_counter() - t0
     return {"metrics": metrics, "parameter_count": count_parameters(trainer.state.params), "runtime": {"data_seconds": data_s, "train_seconds": train_s, "infer_seconds": infer_s, "eval_seconds": eval_s}}
 

@@ -41,7 +41,7 @@ COMMON_KEY_TYPES: Dict[str, Tuple[type, ...]] = {
 
 TASK_KEY_TYPES: Dict[str, Dict[str, Tuple[type, ...]]] = {
     "ranking": {"metrics": (list,)},
-    "matching": {"topk": (int,), "neg_ratio": (int,), "mode": (int,), "seq_max_len": (int,)},
+    "matching": {"topk": (int,), "neg_ratio": (int,), "mode": (int,), "seq_max_len": (int,), "beyond_accuracy": (bool,)},
     "multitask": {"task_types": (list,), "adaptive_method": (str,)},
 }
 

@@ -28,11 +28,13 @@ class Dice(nn.Module):
         alpha = self.param("alpha", jax.nn.initializers.normal(1.0), (1,))
         # normalize over the FEATURE axis (the reference flattens to (N, C)
         # and uses dim=1; axis=-1 generalizes that to 3-D inputs like DIN's
-        # (B, L, C) attention features)
-        avg = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.sum((x - avg) ** 2 + self.epsilon, axis=-1, keepdims=True)
-        ps = jax.nn.sigmoid((x - avg) / jnp.sqrt(var))
-        return ps * x + (1.0 - ps) * alpha * x
+        # (B, L, C) attention features).  Statistics in f32 regardless of the
+        # compute precision (mean/variance are cancellation-sensitive).
+        x32 = x.astype(jnp.float32)
+        avg = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.sum((x32 - avg) ** 2 + self.epsilon, axis=-1, keepdims=True)
+        ps = jax.nn.sigmoid((x32 - avg) / jnp.sqrt(var))
+        return (ps * x32 + (1.0 - ps) * alpha * x32).astype(x.dtype)
 
 
 class PReLU(nn.Module):

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from ..utils.hstu_utils import RelativeBucketedTimeAndPositionBias
 from .layers import torch_linear_init
+from .precision import compute_dtype
 
 
 class HSTULayer(nn.Module):
@@ -46,8 +47,11 @@ class HSTULayer(nn.Module):
         h, dqk, dv = self.n_heads, self.dqk, self.dv
         alpha = 1.0 / math.sqrt(dqk)
 
-        x_normed = nn.LayerNorm(epsilon=1e-5, name="norm_in")(x)
-        proj = jax.nn.silu(nn.Dense(2 * h * dqk + 2 * h * dv, kernel_init=torch_linear_init, name="proj1")(x_normed))
+        # LayerNorm statistics in f32; projections + attention in the compute
+        # dtype (bf16 under mixed precision — MXU 2x rate; the Pallas kernel
+        # always accumulates in f32)
+        x_normed = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm_in")(x)
+        proj = jax.nn.silu(nn.Dense(2 * h * dqk + 2 * h * dv, kernel_init=torch_linear_init, dtype=compute_dtype(), name="proj1")(x_normed))
         q = proj[..., : h * dqk].reshape(b, l, h, dqk)
         k = proj[..., h * dqk: 2 * h * dqk].reshape(b, l, h, dqk)
         u = proj[..., 2 * h * dqk: 2 * h * dqk + h * dv].reshape(b, l, h * dv)
@@ -85,9 +89,9 @@ class HSTULayer(nn.Module):
             scores = jnp.where(valid, scores, -1e4)
             attn = jax.nn.silu(scores) / self.max_seq_len
             out = jnp.einsum("bhlm,bmhd->blhd", attn, v).reshape(b, l, h * dv)
-        gated = nn.LayerNorm(epsilon=1e-5, name="norm_attn")(out) * u
+        gated = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm_attn")(out) * u
         gated = nn.Dropout(self.dropout, deterministic=not training)(gated)
-        return nn.Dense(self.d_model, kernel_init=torch_linear_init, name="proj2")(gated)
+        return nn.Dense(self.d_model, kernel_init=torch_linear_init, dtype=compute_dtype(), name="proj2")(gated)
 
 
 class HSTUBlock(nn.Module):

@@ -20,10 +20,17 @@ import jax
 import jax.numpy as jnp
 
 from .activation import activation_layer
+from .precision import cast_compute, compute_dtype
 
 # torch.nn.Linear's default weight init: U(-1/sqrt(fan_in), 1/sqrt(fan_in)).
 # Used across the zoo so training dynamics track the reference closely.
 torch_linear_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def _dense(features: int, use_bias: bool = True, name: Optional[str] = None):
+    """Zoo-standard Dense: torch init, params f32, compute in the active
+    precision (bf16 under the mixed-precision policy — see basic/precision.py)."""
+    return nn.Dense(features, use_bias=use_bias, kernel_init=torch_linear_init, dtype=compute_dtype(), name=name)
 
 
 def prediction(x, task_type: str = "classification"):
@@ -46,7 +53,7 @@ class LR(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        out = nn.Dense(1, kernel_init=torch_linear_init)(x)
+        out = _dense(1)(x)
         return jax.nn.sigmoid(out) if self.sigmoid else out
 
 
@@ -66,12 +73,12 @@ class MLP(nn.Module):
     @nn.compact
     def __call__(self, x, training: bool = False):
         for dim in self.dims:
-            x = nn.Dense(dim, kernel_init=torch_linear_init)(x)
-            x = nn.BatchNorm(use_running_average=not training, momentum=0.9, epsilon=1e-5)(x)
+            x = _dense(dim)(x)
+            x = nn.BatchNorm(use_running_average=not training, momentum=0.9, epsilon=1e-5, dtype=jnp.float32)(x)
             x = activation_layer(self.activation)(x)
             x = nn.Dropout(rate=self.dropout, deterministic=not training)(x)
         if self.output_layer:
-            x = nn.Dense(1, kernel_init=torch_linear_init)(x)
+            x = _dense(1)(x)
         return x
 
 
@@ -112,8 +119,8 @@ class CIN(nn.Module):
         for i, size in enumerate(self.cin_size):
             # outer product over field axes: (B, F0*Fi, D)
             z = (x0[:, :, None, :] * h[:, None, :, :]).reshape(x.shape[0], -1, x.shape[-1])
-            w = self.param(f"conv_w_{i}", torch_linear_init, (size, z.shape[1]))
-            b = self.param(f"conv_b_{i}", nn.initializers.zeros, (size,))
+            w = cast_compute(self.param(f"conv_w_{i}", torch_linear_init, (size, z.shape[1])))
+            b = cast_compute(self.param(f"conv_b_{i}", nn.initializers.zeros, (size,)))
             out = jax.nn.relu(jnp.einsum("bcd,oc->bod", z, w) + b[None, :, None])
             if self.split_half and i != len(self.cin_size) - 1:
                 out, h = jnp.split(out, 2, axis=1)
@@ -121,7 +128,7 @@ class CIN(nn.Module):
                 h = out
             xs.append(out)
         pooled = jnp.sum(jnp.concatenate(xs, axis=1), axis=2)
-        return nn.Dense(1, kernel_init=torch_linear_init)(pooled)
+        return _dense(1)(pooled)
 
 
 class CrossLayer(nn.Module):
@@ -130,8 +137,8 @@ class CrossLayer(nn.Module):
     @nn.compact
     def __call__(self, x0, xi):
         d = x0.shape[-1]
-        xw = nn.Dense(1, use_bias=False, kernel_init=torch_linear_init)(xi)
-        b = self.param("b", nn.initializers.zeros, (d,))
+        xw = _dense(1, use_bias=False)(xi)
+        b = cast_compute(self.param("b", nn.initializers.zeros, (d,)))
         return x0 * xw + b
 
 
@@ -148,8 +155,8 @@ class CrossNetwork(nn.Module):
         x0 = x
         d = x.shape[-1]
         for i in range(self.num_layers):
-            xw = nn.Dense(1, use_bias=False, kernel_init=torch_linear_init, name=f"w_{i}")(x)
-            b = self.param(f"b_{i}", nn.initializers.zeros, (d,))
+            xw = _dense(1, use_bias=False, name=f"w_{i}")(x)
+            b = cast_compute(self.param(f"b_{i}", nn.initializers.zeros, (d,)))
             x = x0 * xw + b + x
         return x
 
@@ -164,8 +171,8 @@ class CrossNetV2(nn.Module):
         x0 = x
         d = x.shape[-1]
         for i in range(self.num_layers):
-            xw = nn.Dense(d, use_bias=False, kernel_init=torch_linear_init, name=f"w_{i}")(x)
-            b = self.param(f"b_{i}", nn.initializers.zeros, (d,))
+            xw = _dense(d, use_bias=False, name=f"w_{i}")(x)
+            b = cast_compute(self.param(f"b_{i}", nn.initializers.zeros, (d,)))
             x = x0 * xw + b + x
         return x
 
@@ -189,19 +196,19 @@ class CrossNetMix(nn.Module):
         xavier = nn.initializers.xavier_normal()
         x0 = x  # (B, D)
         xl = x
-        gate_w = self.param("gate_w", torch_linear_init, (self.num_experts, d))
+        gate_w = cast_compute(self.param("gate_w", torch_linear_init, (self.num_experts, d)))
         for i in range(self.num_layers):
-            u = self.param(f"u_{i}", xavier, (self.num_experts, d, self.low_rank))
-            v = self.param(f"v_{i}", xavier, (self.num_experts, d, self.low_rank))
-            c = self.param(f"c_{i}", xavier, (self.num_experts, self.low_rank, self.low_rank))
-            b = self.param(f"b_{i}", nn.initializers.zeros, (d,))
+            u = cast_compute(self.param(f"u_{i}", xavier, (self.num_experts, d, self.low_rank)))
+            v = cast_compute(self.param(f"v_{i}", xavier, (self.num_experts, d, self.low_rank)))
+            c = cast_compute(self.param(f"c_{i}", xavier, (self.num_experts, self.low_rank, self.low_rank)))
+            b = cast_compute(self.param(f"b_{i}", nn.initializers.zeros, (d,)))
             # gate scores per expert: (B, E)
             gate = jnp.einsum("bd,ed->be", xl, gate_w)
             vx = jnp.tanh(jnp.einsum("edr,bd->ber", v, xl))
             cvx = jnp.tanh(jnp.einsum("ers,bes->ber", c, vx))
             uv = jnp.einsum("edr,ber->bed", u, cvx)  # (B, E, D)
             expert_out = x0[:, None, :] * (uv + b)  # Hadamard with x0
-            moe = jnp.einsum("bed,be->bd", expert_out, jax.nn.softmax(gate, axis=1))
+            moe = jnp.einsum("bed,be->bd", expert_out, jax.nn.softmax(gate.astype(jnp.float32), axis=1).astype(expert_out.dtype))
             xl = moe + xl
         return xl
 
@@ -216,8 +223,8 @@ class SENETLayer(nn.Module):
     def __call__(self, x):
         reduced = max(1, self.num_fields // self.reduction_ratio)
         z = jnp.mean(x, axis=-1)  # (B, F)
-        a = jax.nn.relu(nn.Dense(reduced, use_bias=False, kernel_init=torch_linear_init)(z))
-        a = jax.nn.relu(nn.Dense(self.num_fields, use_bias=False, kernel_init=torch_linear_init)(a))
+        a = jax.nn.relu(_dense(reduced, use_bias=False)(z))
+        a = jax.nn.relu(_dense(self.num_fields, use_bias=False)(a))
         return x * a[..., None]
 
 
@@ -238,15 +245,15 @@ class BiLinearInteractionLayer(nn.Module):
         i_idx = jnp.array([i for i, _ in pairs])
         j_idx = jnp.array([j for _, j in pairs])
         if self.bilinear_type == "field_all":
-            w = self.param("w", torch_linear_init, (d, d))
+            w = cast_compute(self.param("w", torch_linear_init, (d, d)))
             proj = jnp.einsum("bfd,de->bfe", x, w)
             out = proj[:, i_idx, :] * x[:, j_idx, :]
         elif self.bilinear_type == "field_each":
-            w = self.param("w", torch_linear_init, (f, d, d))
+            w = cast_compute(self.param("w", torch_linear_init, (f, d, d)))
             proj = jnp.einsum("bfd,fde->bfe", x, w)
             out = proj[:, i_idx, :] * x[:, j_idx, :]
         elif self.bilinear_type == "field_interaction":
-            w = self.param("w", torch_linear_init, (len(pairs), d, d))
+            w = cast_compute(self.param("w", torch_linear_init, (len(pairs), d, d)))
             out = jnp.einsum("bpd,pde->bpe", x[:, i_idx, :], w) * x[:, j_idx, :]
         else:
             raise NotImplementedError(self.bilinear_type)
@@ -270,12 +277,12 @@ class InteractingLayer(nn.Module):
             raise ValueError("embed_dim must be divisible by num_heads")
         b, f, d = x.shape
         head_dim = self.embed_dim // self.num_heads
-        dense = lambda name: nn.Dense(self.embed_dim, use_bias=False, kernel_init=torch_linear_init, name=name)
+        dense = lambda name: _dense(self.embed_dim, use_bias=False, name=name)
         q = dense("W_Q")(x).reshape(b, f, self.num_heads, head_dim).transpose(0, 2, 1, 3)
         k = dense("W_K")(x).reshape(b, f, self.num_heads, head_dim).transpose(0, 2, 1, 3)
         v = dense("W_V")(x).reshape(b, f, self.num_heads, head_dim).transpose(0, 2, 1, 3)
         scores = jnp.einsum("bhfd,bhgd->bhfg", q, k) * (head_dim**-0.5)
-        weights = jax.nn.softmax(scores, axis=-1)
+        weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
         if self.dropout > 0:
             weights = nn.Dropout(rate=self.dropout, deterministic=not training)(weights)
         out = jnp.einsum("bhfg,bhgd->bhfd", weights, v).transpose(0, 2, 1, 3).reshape(b, f, d)
@@ -299,13 +306,13 @@ class MultiInterestSA(nn.Module):
     def __call__(self, seq_emb, mask=None):
         hidden = self.hidden_dim or self.embedding_dim * 4
         uniform = nn.initializers.uniform(scale=1.0)
-        w1 = self.param("W1", uniform, (self.embedding_dim, hidden))
-        w2 = self.param("W2", uniform, (hidden, self.interest_num))
+        w1 = cast_compute(self.param("W1", uniform, (self.embedding_dim, hidden)))
+        w2 = cast_compute(self.param("W2", uniform, (hidden, self.interest_num)))
         h = jnp.tanh(jnp.einsum("bse,ed->bsd", seq_emb, w1))
         logits = jnp.einsum("bsd,dk->bsk", h, w2)
         if mask is not None:
             logits = logits + -1e9 * (1.0 - mask.astype(logits.dtype))
-        attn = jax.nn.softmax(logits, axis=1)  # over sequence positions
+        attn = jax.nn.softmax(logits.astype(jnp.float32), axis=1).astype(seq_emb.dtype)  # over positions
         return jnp.einsum("bsk,bsd->bkd", attn, seq_emb)
 
 
@@ -336,10 +343,10 @@ class CapsuleNetwork(nn.Module):
         b = item_eb.shape[0]
         k, l, d = self.interest_num, self.seq_len, self.embedding_dim
         if self.bilinear_type == 0:
-            proj = nn.Dense(d, use_bias=False, kernel_init=torch_linear_init)(item_eb)
+            proj = _dense(d, use_bias=False)(item_eb)
             hat = jnp.tile(proj, (1, 1, k))
         elif self.bilinear_type == 1:
-            hat = nn.Dense(d * k, use_bias=False, kernel_init=torch_linear_init)(item_eb)
+            hat = _dense(d * k, use_bias=False)(item_eb)
         else:
             w = self.param("w", nn.initializers.uniform(1.0), (1, l, k * d, d))
             hat = jnp.sum(w[:, :l, :, :] * item_eb[:, :, None, :], axis=3)
@@ -365,7 +372,7 @@ class CapsuleNetwork(nn.Module):
             if i < self.routing_times - 1:
                 weight = weight + jnp.einsum("bkld,bkd->bkl", hat_iter, capsule)
         if self.relu_layer:
-            capsule = jax.nn.relu(nn.Dense(d, use_bias=False, kernel_init=torch_linear_init)(capsule))
+            capsule = jax.nn.relu(_dense(d, use_bias=False)(capsule))
         return capsule
 
 

@@ -29,21 +29,25 @@ def _weighted_mean(loss, weight):
 
 
 def bce_with_logits(logits, targets, weight=None):
-    """Binary cross-entropy from logits; `weight` enables pad-batch masking."""
-    logits = logits.reshape(targets.shape)
+    """Binary cross-entropy from logits; `weight` enables pad-batch masking.
+
+    Always computed in f32: under the bf16 mixed-precision policy the model
+    emits bf16 logits, but losses/reductions stay full precision.
+    """
+    logits = logits.reshape(targets.shape).astype(jnp.float32)
     targets = targets.astype(logits.dtype)
     loss = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
     return _weighted_mean(loss, weight)
 
 
 def mse_loss(preds, targets, weight=None):
-    preds = preds.reshape(targets.shape)
+    preds = preds.reshape(targets.shape).astype(jnp.float32)
     return _weighted_mean((preds - targets.astype(preds.dtype)) ** 2, weight)
 
 
 def softmax_cross_entropy(logits, targets, weight=None):
     """CE over the last axis with integer targets (list-wise matching mode)."""
-    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(log_probs, targets[..., None].astype(jnp.int32), axis=-1)[..., 0]
     return _weighted_mean(nll, weight)
 
@@ -56,6 +60,8 @@ def bpr_loss(pos_score, neg_score, weight=None):
     element-wise; otherwise a 2-D ``neg`` broadcasts against ``pos[:, None]``.
     ``weight`` is a per-sample (leading-axis) mask.
     """
+    pos_score = pos_score.astype(jnp.float32)
+    neg_score = neg_score.astype(jnp.float32)
     if pos_score.shape == neg_score.shape:
         diff = pos_score - neg_score
         if weight is not None and diff.ndim > 1:
@@ -73,7 +79,8 @@ def bpr_loss(pos_score, neg_score, weight=None):
 
 def hinge_loss(pos_score, neg_score, margin: float = 2.0, num_items: Optional[int] = None, weight=None):
     """Pairwise hinge loss with optional WARP rank weighting (``loss_func.py:71-92``)."""
-    pos_score = pos_score.reshape(-1)
+    pos_score = pos_score.reshape(-1).astype(jnp.float32)
+    neg_score = neg_score.astype(jnp.float32)
     neg_2d = neg_score if neg_score.ndim > 1 else neg_score[:, None]
     loss = jnp.maximum(jnp.max(neg_2d, axis=-1) - pos_score + margin, 0.0)
     if num_items is not None:
@@ -85,7 +92,7 @@ def hinge_loss(pos_score, neg_score, margin: float = 2.0, num_items: Optional[in
 
 def nce_loss(logits, targets, temperature: float = 1.0, ignore_index: int = 0, reduction: str = "mean"):
     """Temperature-scaled CE that ignores ``ignore_index`` targets (``loss_func.py:110-177``)."""
-    log_probs = jax.nn.log_softmax(logits / temperature, axis=-1)
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32) / temperature, axis=-1)
     nll = -jnp.take_along_axis(log_probs, targets[..., None].astype(jnp.int32), axis=-1)[..., 0]
     mask = (targets != ignore_index).astype(nll.dtype)
     if reduction == "none":

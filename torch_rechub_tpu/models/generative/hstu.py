@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ...basic.hstu import HSTUBlock
+from ...basic.precision import compute_dtype
 from ...utils.hstu_utils import bucketize_time
 
 
@@ -65,7 +66,9 @@ class HSTUModel(nn.Module):
             emb = emb + jnp.take(time_table, buckets, axis=0)
 
         emb = emb * padding_mask[..., None].astype(emb.dtype)
-        emb = nn.Dropout(self.dropout, deterministic=not training)(emb)
+        # the transformer stack runs in the compute dtype (bf16 under mixed
+        # precision); embeddings/tables stay f32 params
+        emb = nn.Dropout(self.dropout, deterministic=not training)(emb).astype(compute_dtype())
 
         out = HSTUBlock(
             d_model=self.d_model,
@@ -91,7 +94,9 @@ class HSTUModel(nn.Module):
             bias = self.param("output_projection_bias", nn.initializers.zeros, (self.vocab_size,)) if self.use_output_bias else None
 
         if self.score_norm == "l2":
-            out = out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), self.l2_norm_eps)
+            # norms in f32 (sum-of-squares is cancellation-sensitive)
+            out32 = out.astype(jnp.float32)
+            out = (out32 / jnp.maximum(jnp.linalg.norm(out32, axis=-1, keepdims=True), self.l2_norm_eps)).astype(out.dtype)
             weight = weight / jnp.maximum(jnp.linalg.norm(weight, axis=-1, keepdims=True), self.l2_norm_eps)
 
         if return_hidden:
@@ -100,7 +105,7 @@ class HSTUModel(nn.Module):
             # (B, L, V) logits; the caller folds in self.temperature.
             return {"hidden": out, "weight": weight, "bias": bias}
 
-        logits = jnp.einsum("bld,vd->blv", out, weight)
+        logits = jnp.einsum("bld,vd->blv", out, weight.astype(out.dtype)).astype(jnp.float32)
         if bias is not None:
             logits = logits + bias
         if self.temperature != 1.0:

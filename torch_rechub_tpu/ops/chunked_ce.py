@@ -47,6 +47,10 @@ def chunked_logsumexp(hidden: jnp.ndarray, weight: jnp.ndarray, bias: Optional[j
     chunk_size = min(chunk_size, v)
     n_chunks = -(-v // chunk_size)
     pad = n_chunks * chunk_size - v
+    # the (B*L, D) @ (D, chunk) matmuls run in the caller's compute dtype
+    # (bf16 under mixed precision → MXU 2x rate); the LSE accumulator below
+    # is always f32
+    weight = weight.astype(hidden.dtype)
     w = jnp.pad(weight, ((0, pad), (0, 0))).reshape(n_chunks, chunk_size, d)
     b = jnp.pad(bias, (0, pad)) if bias is not None else jnp.zeros((n_chunks * chunk_size,), hidden.dtype)
     b = b.reshape(n_chunks, chunk_size)
@@ -61,14 +65,14 @@ def chunked_logsumexp(hidden: jnp.ndarray, weight: jnp.ndarray, bias: Optional[j
     def body(carry, chunk):
         m, s = carry
         w_c, b_c, valid_c = chunk
-        logits = (jnp.einsum("...d,cd->...c", hidden, w_c) + b_c) * inv_t
+        logits = ((jnp.einsum("...d,cd->...c", hidden, w_c) + b_c) * inv_t).astype(jnp.float32)
         logits = jnp.where(valid_c, logits, _NEG_INF)
         cm = jnp.maximum(m, jnp.max(logits, axis=-1))
         s = s * jnp.exp(m - cm) + jnp.sum(jnp.where(valid_c, jnp.exp(logits - cm[..., None]), 0.0), axis=-1)
         return (cm, s), None
 
-    m0 = jnp.full(hidden.shape[:-1], _NEG_INF, hidden.dtype)
-    s0 = jnp.zeros(hidden.shape[:-1], hidden.dtype)
+    m0 = jnp.full(hidden.shape[:-1], _NEG_INF, jnp.float32)
+    s0 = jnp.zeros(hidden.shape[:-1], jnp.float32)
     (m, s), _ = jax.lax.scan(body, (m0, s0), (w, b, valid_cols))
     return m + jnp.log(jnp.maximum(s, 1e-30))
 
@@ -88,8 +92,8 @@ def chunked_next_token_loss(hidden: jnp.ndarray, weight: jnp.ndarray, seq_tokens
     next_tokens = jnp.concatenate([seq_tokens[:, 1:], targets[:, None]], axis=1)
     next_tokens = jnp.where(seq_tokens == ignore_index, ignore_index, next_tokens).astype(jnp.int32)
 
-    w_t = jnp.take(weight, next_tokens, axis=0)
-    logit_t = jnp.einsum("bld,bld->bl", hidden, w_t)
+    w_t = jnp.take(weight, next_tokens, axis=0).astype(hidden.dtype)
+    logit_t = jnp.einsum("bld,bld->bl", hidden, w_t).astype(jnp.float32)
     if bias is not None:
         logit_t = logit_t + jnp.take(bias, next_tokens, axis=0)
     logit_t = logit_t / temperature
@@ -102,7 +106,7 @@ def chunked_next_token_loss(hidden: jnp.ndarray, weight: jnp.ndarray, seq_tokens
 
 def chunked_last_logits(hidden_last: jnp.ndarray, weight: jnp.ndarray, bias: Optional[jnp.ndarray] = None, temperature: float = 1.0) -> jnp.ndarray:
     """Dense ``(B, V)`` logits for the last position only (eval / top-k)."""
-    logits = jnp.einsum("bd,vd->bv", hidden_last, weight)
+    logits = jnp.einsum("bd,vd->bv", hidden_last, weight.astype(hidden_last.dtype)).astype(jnp.float32)
     if bias is not None:
         logits = logits + bias
     return logits / temperature

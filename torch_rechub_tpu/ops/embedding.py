@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from ..basic.features import DenseFeature, Feature, SequenceFeature, SparseFeature, table_name
+from ..basic.precision import compute_dtype
 
 # Global default for EmbeddingCollection.fused when the module doesn't choose.
 _FUSED_DEFAULT = ["auto"]
@@ -54,6 +55,11 @@ _FUSED_ROW_MULTIPLE = 64
 # need model-axis sharding / sparse updates); smaller ones stay per-feature
 # (2-3x faster random gathers, measured on v5e — see module docstring).
 _FUSED_AUTO_MIN_ROWS = 262144
+
+# Per-feature tables at least this many rows pad to a multiple of 64 so the
+# placement policy (parallel.mesh.plan_table_placement) can row-shard them
+# over any model axis up to 64.  Keep in sync with mesh.SHARD_MIN_ROWS.
+_PER_FEATURE_PAD_MIN_ROWS = 65536
 
 
 def set_fused_default(value):
@@ -87,7 +93,7 @@ def pool_sequence(emb, mask, pooling: str):
     """
     if pooling == "concat":
         return emb
-    masked_sum = jnp.einsum("bl,bld->bd", mask, emb)
+    masked_sum = jnp.einsum("bl,bld->bd", mask.astype(emb.dtype), emb)
     if pooling == "sum":
         return masked_sum
     if pooling == "mean":
@@ -136,14 +142,21 @@ class EmbeddingCollection(nn.Module):
         tables = {}
         for owner, fea in per_feature.items():
             init = fea.initializer
+            # big per-feature tables pad to a 64-row multiple so the placement
+            # policy can row-shard them (padded rows: zero, never addressed)
+            rows = fea.vocab_size
+            if rows >= _PER_FEATURE_PAD_MIN_ROWS:
+                rows = -(-rows // _FUSED_ROW_MULTIPLE) * _FUSED_ROW_MULTIPLE
 
             def init_fn(key, shape, dtype=jnp.float32, _init=init, _fea=fea):
-                w = _init(key, shape, dtype)
+                w = _init(key, (_fea.vocab_size, shape[1]), dtype)
                 if _fea.padding_idx is not None:
                     w = w.at[_fea.padding_idx].set(0.0)
+                if shape[0] != _fea.vocab_size:
+                    w = jnp.concatenate([w, jnp.zeros((shape[0] - _fea.vocab_size, shape[1]), dtype)])
                 return w
 
-            tables[owner] = self.param(f"{owner}_table", init_fn, (fea.vocab_size, fea.embed_dim))
+            tables[owner] = self.param(f"{owner}_table", init_fn, (rows, fea.embed_dim))
         self.tables = tables
 
         # Fused: group owners by embed_dim, one (ΣV padded, D) param per group.
@@ -176,9 +189,12 @@ class EmbeddingCollection(nn.Module):
         self._layout = layout
 
     def table(self, name: str):
-        """The full ``(V, D)`` table for one owner feature (a slice if fused)."""
+        """The full ``(V, D)`` table for one owner feature (a slice if fused
+        or row-padded)."""
         if name not in self._layout:
-            return self.tables[name]
+            t = self.tables[name]
+            v = self._specs[name].vocab_size
+            return t if t.shape[0] == v else jax.lax.slice_in_dim(t, 0, v, axis=0)
         dim, off = self._layout[name]
         return jax.lax.slice_in_dim(self.fused_tables[dim], off, off + self._specs[name].vocab_size, axis=0)
 
@@ -196,7 +212,7 @@ class EmbeddingCollection(nn.Module):
             emb = jnp.take(self.tables[owner], ids, axis=0)
         if feature.padding_idx is not None:
             emb = emb * (ids != feature.padding_idx)[..., None].astype(emb.dtype)
-        return emb
+        return emb.astype(compute_dtype())
 
     def _fused_batched_embed(self, x, features):
         """One gather per dim-group for all sparse/sequence features.
@@ -245,6 +261,7 @@ class EmbeddingCollection(nn.Module):
                     e = e * (raw != fea.padding_idx)[..., None].astype(e.dtype)
                 # scalar sparse ids -> (B, D); 2-D ids (e.g. DeepFFM's
                 # field-offset trick) keep (B, W, D), matching lookup()
+                e = e.astype(compute_dtype())
                 out[idx] = e[:, 0] if was_scalar else e
         return out
 
@@ -267,7 +284,7 @@ class EmbeddingCollection(nn.Module):
                 pooled = pool_sequence(e, feature_mask(x, fea), fea.pooling)
                 sparse_emb.append(pooled[:, None, ...])
             elif isinstance(fea, DenseFeature):
-                v = x[fea.name].astype(jnp.float32)
+                v = x[fea.name].astype(compute_dtype())
                 dense_values.append(v if v.ndim > 1 else v[:, None])
             else:
                 raise TypeError(f"unknown feature type: {fea!r}")

@@ -105,7 +105,7 @@ def _dense_forward(q, k, v, pos_w, ts_w, timestamps, padding_mask, alpha, max_se
         valid = valid & padding_mask[:, None, None, :]
     scores = jnp.where(valid, scores, -1e4)
     attn = _silu(scores) / max_seq_len
-    return jnp.einsum("bhlm,bhmd->bhld", attn, v)
+    return jnp.einsum("bhlm,bhmd->bhld", attn, v.astype(attn.dtype)).astype(q.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -187,7 +187,9 @@ def _fwd_kernel(pw_ref, tw_ref, ts_ref, q_ref, k_ref, v_ref, mask_ref, out_ref, 
         k_pos = k0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         valid = (k_pos <= q_pos) & (m_blk[None, :] > 0)
         s = jnp.where(valid, s, -1e4)
-        attn = _silu(s) * inv_n
+        # attn rounds to the input dtype for the PV matmul (bf16 under mixed
+        # precision — MXU path); accumulation stays f32 via preferred_element_type
+        attn = (_silu(s) * inv_n).astype(v_blk.dtype)
         return acc + jax.lax.dot_general(attn, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
     acc = jax.lax.fori_loop(0, num_k, body, acc)
@@ -270,7 +272,7 @@ def _bwd_dq_kernel(pw_ref, tw_ref, ts_ref, q_ref, k_ref, v_ref, g_ref, mask_ref,
             sh *= 2
         dpos_acc[0, pl.ds(k0, wt)] += jnp.sum(x, axis=0)
 
-        return dq_acc + jax.lax.dot_general(ds, k_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32) * alpha
+        return dq_acc + jax.lax.dot_general(ds.astype(k_blk.dtype), k_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32) * alpha
 
     dq_acc = jax.lax.fori_loop(0, num_k, body, dq_acc)
     dq_ref[0] = dq_acc.astype(dq_ref.dtype)
@@ -310,7 +312,10 @@ def _bwd_dkv_kernel(pw_ref, tw_ref, ts_ref, q_ref, k_ref, v_ref, g_ref, mask_ref
         g_blk = g_ref[0, pl.ds(q0, block_q), :]
 
         s = jax.lax.dot_general(q_blk, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        s = s * alpha + band_ref[:, pl.ds(l - block_q - q0, block_k)]
+        # the band offset is a multiple of block_q by construction (l, q0 are);
+        # the explicit hint survives the subtraction, which Mosaic's alignment
+        # analysis otherwise can't prove for a 128-lane vector load
+        s = s * alpha + band_ref[:, pl.ds(pl.multiple_of(l - block_q - q0, block_q), block_k)]
         if has_time:
             tq = ts_ref[0, 0, pl.ds(q0, block_q)]
             s = s + _tw_select(tw_ref, head, _bucketize(tq[:, None] - tk[None, :], cfg))
@@ -320,8 +325,8 @@ def _bwd_dkv_kernel(pw_ref, tw_ref, ts_ref, q_ref, k_ref, v_ref, g_ref, mask_ref
         attn = _silu(s) * inv_n
         dattn = jax.lax.dot_general(g_blk, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         ds = jnp.where(valid, dattn * _dsilu(s) * inv_n, 0.0)
-        dv_acc = dv_acc + jax.lax.dot_general(attn, g_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        dk_acc = dk_acc + jax.lax.dot_general(ds, q_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32) * alpha
+        dv_acc = dv_acc + jax.lax.dot_general(attn.astype(g_blk.dtype), g_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dk_acc = dk_acc + jax.lax.dot_general(ds.astype(q_blk.dtype), q_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32) * alpha
         return dk_acc, dv_acc
 
     dk_acc, dv_acc = jax.lax.fori_loop(first_q, num_q, body, (dk_acc, dv_acc))

@@ -66,33 +66,113 @@ def replicated_sharding(mesh: Optional[Mesh]):
     return NamedSharding(mesh, P())
 
 
-def table_partition_spec(vocab_size: int, mesh: Optional[Mesh]) -> P:
-    """Row-shard an embedding table over the model axis when rows divide evenly.
+# ---------------------------------------------------------------------------
+# Table placement policy — ONE budget-aware function (round-4 unification of
+# the former three independent knobs: the embedding fuse threshold, the
+# divisibility check, and the 8*n_model floor).
+# ---------------------------------------------------------------------------
 
-    Small/indivisible tables stay replicated — sharding a 17-row vocab across
-    chips costs more in gather latency than it saves in HBM.
+# Tables at least this many rows row-shard over the model axis whenever
+# n_model > 1: at >=64k rows random-gather latency dominates either way
+# (docs/EMBEDDING.md), so splitting HBM across chips is free capacity.
+# EmbeddingCollection pads tables >= this size to a multiple of 64 rows, so
+# divisibility holds for any model axis up to 64.
+SHARD_MIN_ROWS = 65536
+
+# Replicated-table HBM budget per chip.  When the tables chosen to replicate
+# exceed this, the policy force-shards the largest divisible ones until the
+# remainder fits (v5e has 16 GiB HBM; 2 GiB leaves room for activations,
+# optimizer state and XLA scratch).
+DEFAULT_TABLE_HBM_BUDGET = 2 << 30
+
+
+def plan_table_placement(table_shapes, n_model: int, hbm_budget_bytes: int = DEFAULT_TABLE_HBM_BUDGET, dtype_bytes: int = 4, shard_min_rows: Optional[int] = None, force_shard=()):
+    """Decide shard-vs-replicate for every embedding table, budget-aware.
+
+    Args:
+        table_shapes: ``{name: (rows, dim)}`` for every embedding table.
+        n_model: size of the model mesh axis.
+        hbm_budget_bytes: per-chip budget for REPLICATED table bytes.
+        dtype_bytes: bytes per element (4 = f32 tables).
+        shard_min_rows: rows at which a table always shards (n_model > 1).
+        force_shard: names that shard regardless of size (fused tables — they
+            exist to be sharded and are padded divisible by construction).
+
+    Returns:
+        ``{name: "shard" | "replicate"}``.  Rules, in order:
+        1. ``n_model == 1`` → everything replicates (nothing to shard over).
+        2. ``force_shard`` members and tables with rows >= shard_min_rows,
+           rows divisible by n_model → shard.
+        3. Remaining tables replicate — unless their total exceeds the HBM
+           budget, in which case the largest divisible ones shard (floor:
+           8 * n_model rows) until the remainder fits.
+        A table that must stay replicated only because its rows don't divide
+        ``n_model`` triggers a warning naming it (no more silent partiality);
+        ``EmbeddingCollection`` avoids this by padding big tables to a
+        multiple of 64 rows.
     """
+    if shard_min_rows is None:
+        shard_min_rows = SHARD_MIN_ROWS  # late-bound: module attr, patchable
+    if n_model <= 1:
+        return {name: "replicate" for name in table_shapes}
+    plan = {}
+    replicated = []
+    force = set(force_shard)
+    for name, (rows, dim) in table_shapes.items():
+        if (name in force or rows >= shard_min_rows) and rows % n_model == 0 and rows >= n_model:
+            plan[name] = "shard"
+        else:
+            if rows >= shard_min_rows or name in force:
+                import warnings
+
+                warnings.warn(f"table {name!r} ({rows} rows) stays replicated: rows not divisible by model axis {n_model} — pad to a multiple of {n_model} (EmbeddingCollection pads tables >= {shard_min_rows} rows automatically)")
+            plan[name] = "replicate"
+            replicated.append((rows * dim * dtype_bytes, rows, name))
+    # budget pass: force-shard the largest replicated-but-divisible tables
+    over = sum(b for b, _, _ in replicated) - hbm_budget_bytes
+    if over > 0:
+        for bytes_, rows, name in sorted(replicated, reverse=True):
+            if over <= 0:
+                break
+            if rows % n_model == 0 and rows >= 8 * n_model:
+                plan[name] = "shard"
+                over -= bytes_ * (n_model - 1) // n_model
+    return plan
+
+
+def table_partition_spec(vocab_size: int, mesh: Optional[Mesh]) -> P:
+    """Single-table convenience wrapper over :func:`plan_table_placement`."""
     if mesh is None:
         return P()
-    n_model = mesh.shape[MODEL_AXIS]
-    if n_model > 1 and vocab_size % n_model == 0 and vocab_size >= 8 * n_model:
-        return P(MODEL_AXIS, None)
-    return P()
+    plan = plan_table_placement({"t": (vocab_size, 1)}, mesh.shape[MODEL_AXIS], dtype_bytes=4)
+    return P(MODEL_AXIS, None) if plan["t"] == "shard" else P()
 
 
 def _is_table_path(path_str: str) -> bool:
+    """Embedding-table params by path contract: EmbeddingCollection names every
+    table ``*_table`` and model-local embeddings carry ``embedding`` in their
+    module path (e.g. HSTU's ``token_embedding``)."""
     return "embedding" in path_str.lower() or path_str.lower().endswith("_table']")
 
 
-def param_shardings(params, mesh: Optional[Mesh]):
-    """A pytree of NamedShardings: tables row-sharded, everything else replicated."""
+def param_shardings(params, mesh: Optional[Mesh], hbm_budget_bytes: int = DEFAULT_TABLE_HBM_BUDGET):
+    """A pytree of NamedShardings: tables placed by :func:`plan_table_placement`
+    (row-sharded over ``model`` or replicated), everything else replicated."""
     if mesh is None:
         return jax.tree_util.tree_map(lambda _: None, params)
+    n_model = mesh.shape[MODEL_AXIS]
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    table_shapes = {jax.tree_util.keystr(p): tuple(leaf.shape) for p, leaf in flat if _is_table_path(jax.tree_util.keystr(p)) and leaf.ndim == 2}
+    # fused tables always shard — padded divisible by construction, and the
+    # fused layout exists precisely to row-shard / take sparse updates
+    force = tuple(k for k in table_shapes if "fused_d" in k and k.endswith("_table']"))
+    plan = plan_table_placement(table_shapes, n_model, hbm_budget_bytes=hbm_budget_bytes, force_shard=force)
 
     def one(path, leaf):
-        path_str = jax.tree_util.keystr(path)
-        if _is_table_path(path_str) and leaf.ndim == 2:
-            return NamedSharding(mesh, table_partition_spec(leaf.shape[0], mesh))
+        key = jax.tree_util.keystr(path)
+        if plan.get(key) == "shard":
+            return NamedSharding(mesh, P(MODEL_AXIS, None))
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(one, params)

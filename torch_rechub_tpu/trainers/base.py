@@ -135,7 +135,7 @@ def load_checkpoint(path: str, template: Dict, name: str = "model.msgpack") -> D
 class JaxTrainer:
     """Common state for the concrete trainers (mesh, rngs, optimizer, ckpt)."""
 
-    def __init__(self, model, optimizer_params=None, scheduler_params=None, n_epoch=10, earlystop_patience=10, model_path="./", mesh=None, seed=0, loggers=None):
+    def __init__(self, model, optimizer_params=None, scheduler_params=None, n_epoch=10, earlystop_patience=10, model_path="./", mesh=None, seed=0, loggers=None, precision=None):
         self.model = model
         self.tx, self.lr0 = make_optimizer(optimizer_params)
         self.scheduler_params = scheduler_params
@@ -145,9 +145,22 @@ class JaxTrainer:
         self.mesh = mesh
         self.seed = seed
         self.loggers = loggers
+        # precision: None/"f32" keeps reference f32 numerics; "bf16" computes
+        # in bfloat16 with f32 params/losses (see basic/precision.py).  The
+        # scope wraps every model.init/apply TRACE, so it is baked into the
+        # jitted executables without leaking to other trainers in-process.
+        from ..basic.precision import _resolve
+        _resolve(precision)  # validate eagerly
+        self.precision = precision
         self.state: Optional[TrainState] = None
         self.const_vars: Dict = {}
         self._rng = jax.random.PRNGKey(seed)
+
+    def pscope(self):
+        """Precision context for model.init/apply traces (no-op when f32)."""
+        from ..basic.precision import precision_scope
+
+        return precision_scope(self.precision)
 
     # -- state -------------------------------------------------------------
     def init_state(self, x_sample) -> TrainState:
@@ -155,7 +168,11 @@ class JaxTrainer:
         x_dev = {k: jnp.asarray(v) for k, v in x_sample.items()}
         # jit the init: eager flax init dispatches hundreds of tiny ops, which
         # is pathological over a remote-device transport (one RTT per op).
-        init_fn = jax.jit(lambda rngs, x: self.model.init(rngs, x, training=False))
+        def _init(rngs, x):
+            with self.pscope():
+                return self.model.init(rngs, x, training=False)
+
+        init_fn = jax.jit(_init)
         variables = init_fn({"params": init_rng, "dropout": init_rng, "routing": init_rng}, x_dev)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})

@@ -40,8 +40,8 @@ class CTRTrainer(JaxTrainer):
         mesh: optional ``jax.sharding.Mesh`` for SPMD execution.
     """
 
-    def __init__(self, model, optimizer_params=None, regularization_params=None, scheduler_params=None, n_epoch=10, earlystop_patience=10, loss_mode=True, model_path="./", model_logger=None, mesh=None, seed=0, batch_size_hint=None, steps_per_call=1, sparse_embedding=None):
-        super().__init__(model, optimizer_params, scheduler_params, n_epoch, earlystop_patience, model_path, mesh, seed, model_logger)
+    def __init__(self, model, optimizer_params=None, regularization_params=None, scheduler_params=None, n_epoch=10, earlystop_patience=10, loss_mode=True, model_path="./", model_logger=None, mesh=None, seed=0, batch_size_hint=None, steps_per_call=1, sparse_embedding=None, precision=None):
+        super().__init__(model, optimizer_params, scheduler_params, n_epoch, earlystop_patience, model_path, mesh, seed, model_logger, precision=precision)
         self.loss_mode = loss_mode
         self.reg_loss_fn = RegularizationLoss(**(regularization_params or {}))
         self.early_stopper = EarlyStopper(patience=earlystop_patience)
@@ -67,7 +67,8 @@ class CTRTrainer(JaxTrainer):
 
         def loss_fn(params, batch_stats, x, y, w, rng):
             variables = {"params": params, "batch_stats": batch_stats}
-            out, mutated = model.apply(variables, x, training=True, rngs={"dropout": rng, "routing": rng}, mutable=["batch_stats"])
+            with self.pscope():
+                out, mutated = model.apply(variables, x, training=True, rngs={"dropout": rng, "routing": rng}, mutable=["batch_stats"])
             aux = 0.0
             if not loss_mode:
                 out, aux = out
@@ -100,10 +101,11 @@ class CTRTrainer(JaxTrainer):
 
         @jax.jit
         def predict_step(params, batch_stats, x):
-            out = model.apply({"params": params, "batch_stats": batch_stats}, x, training=False)
+            with self.pscope():
+                out = model.apply({"params": params, "batch_stats": batch_stats}, x, training=False)
             if not loss_mode:
                 out = out[0]
-            return jax.nn.sigmoid(out)
+            return jax.nn.sigmoid(out.astype(jnp.float32))
 
         self._train_step, self._train_steps_scan, self._predict_step = train_step, train_steps_scan, predict_step
         if self.sparse_embedding:
@@ -127,16 +129,18 @@ class CTRTrainer(JaxTrainer):
 
         # perturbation shape template (fixed: batches are padded to loader size)
         x0 = {k: jax.ShapeDtypeStruct(v.shape, v.dtype) for k, v in self._x0_dev.items()}
-        var_shapes = jax.eval_shape(
-            lambda p, b, x: model.apply({"params": p, "batch_stats": b}, x, training=False, mutable=["perturbations"])[1],
-            self.state.params, self.state.batch_stats, x0,
-        )
+        def _pert_shapes(p, b, x):
+            with self.pscope():
+                return model.apply({"params": p, "batch_stats": b}, x, training=False, mutable=["perturbations"])[1]
+
+        var_shapes = jax.eval_shape(_pert_shapes, self.state.params, self.state.batch_stats, x0)
         pert_template = var_shapes.get("perturbations", {})
 
         def sparse_loss_fn(rest_flat, perts, tables_flat, batch_stats, x, y, w, rng):
             params = su.merge_params(tables_flat, rest_flat)
             variables = {"params": params, "batch_stats": batch_stats, "perturbations": perts}
-            out, mutated = model.apply(variables, x, training=True, rngs={"dropout": rng, "routing": rng}, mutable=["batch_stats", "embedding_ids"])
+            with self.pscope():
+                out, mutated = model.apply(variables, x, training=True, rngs={"dropout": rng, "routing": rng}, mutable=["batch_stats", "embedding_ids"])
             aux = 0.0
             if not loss_mode:
                 out, aux = out
@@ -302,10 +306,11 @@ class CTRTrainer(JaxTrainer):
 
         @jax.jit
         def hist_step(params, batch_stats, x, y, w):
-            p = model.apply({"params": params, "batch_stats": batch_stats}, x, training=False)
+            with self.pscope():
+                p = model.apply({"params": params, "batch_stats": batch_stats}, x, training=False)
             if not self.loss_mode:
                 p = p[0]
-            return auc_histogram(y, jax.nn.sigmoid(p), n_bins=n_bins, weight=w)
+            return auc_histogram(y, jax.nn.sigmoid(p.astype(jnp.float32)), n_bins=n_bins, weight=w)
 
         pos = jnp.zeros((n_bins,), jnp.float32)
         neg = jnp.zeros((n_bins,), jnp.float32)

@@ -43,8 +43,8 @@ from .base import JaxTrainer, TrainState, apply_updates, load_checkpoint, to_num
 class MatchTrainer(JaxTrainer):
     """General matching/retrieval trainer (modes 0/1/2 + in-batch negatives)."""
 
-    def __init__(self, model, mode=0, in_batch_neg=False, in_batch_neg_ratio=None, hard_negative=False, neg_pool="global", sampler_seed=None, optimizer_params=None, regularization_params=None, scheduler_params=None, n_epoch=10, earlystop_patience=10, model_path="./", model_logger=None, mesh=None, seed=0, steps_per_call=1):
-        super().__init__(model, optimizer_params, scheduler_params, n_epoch, earlystop_patience, model_path, mesh, seed, model_logger)
+    def __init__(self, model, mode=0, in_batch_neg=False, in_batch_neg_ratio=None, hard_negative=False, neg_pool="global", sampler_seed=None, optimizer_params=None, regularization_params=None, scheduler_params=None, n_epoch=10, earlystop_patience=10, model_path="./", model_logger=None, mesh=None, seed=0, steps_per_call=1, precision=None):
+        super().__init__(model, optimizer_params, scheduler_params, n_epoch, earlystop_patience, model_path, mesh, seed, model_logger, precision=precision)
         if mode not in (0, 1, 2):
             raise ValueError(f"mode only contain value in [0, 1, 2], but got {mode}")
         if neg_pool not in ("global", "local"):
@@ -76,7 +76,8 @@ class MatchTrainer(JaxTrainer):
 
         def apply_model(params, batch_stats, x, rng, method=None, **kwargs):
             variables = {"params": params, "batch_stats": batch_stats}
-            return model.apply(variables, x, training=True, rngs={"dropout": rng, "routing": rng}, mutable=["batch_stats"], method=method, **kwargs)
+            with self.pscope():
+                return model.apply(variables, x, training=True, rngs={"dropout": rng, "routing": rng}, mutable=["batch_stats"], method=method, **kwargs)
 
         def loss_fn(params, batch_stats, x, y, w, rng, sample_rng):
             if in_batch:
@@ -132,7 +133,9 @@ class MatchTrainer(JaxTrainer):
 
         @jax.jit
         def predict_step(params, batch_stats, x):
-            return model.apply({"params": params, "batch_stats": batch_stats}, x, training=False)
+            with self.pscope():
+                out = model.apply({"params": params, "batch_stats": batch_stats}, x, training=False)
+            return jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), out)
 
         self._train_step, self._train_steps_scan, self._predict_step = train_step, train_steps_scan, predict_step
 
@@ -140,7 +143,9 @@ class MatchTrainer(JaxTrainer):
 
             @partial(jax.jit, static_argnames=())
             def tower_step(params, batch_stats, x, _tower=tower):
-                return model.apply({"params": params, "batch_stats": batch_stats}, x, training=False, mode=_tower)
+                with self.pscope():
+                    out = model.apply({"params": params, "batch_stats": batch_stats}, x, training=False, mode=_tower)
+                return out.astype(jnp.float32)
 
             self._tower_steps[tower] = tower_step
 

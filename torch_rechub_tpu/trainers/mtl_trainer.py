@@ -52,7 +52,9 @@ class MTLTrainState:
 
 
 def _task_loss(pred, y, task_type, weight):
-    """Per-task loss on model outputs (probabilities, reference semantics)."""
+    """Per-task loss on model outputs (probabilities, reference semantics);
+    computed in f32 regardless of the model's compute precision."""
+    pred = pred.astype(jnp.float32)
     w = weight
     if task_type == "classification":
         p = jnp.clip(pred, 1e-7, 1 - 1e-7)
@@ -63,8 +65,8 @@ def _task_loss(pred, y, task_type, weight):
 
 
 class MTLTrainer(JaxTrainer):
-    def __init__(self, model, task_types, optimizer_params=None, regularization_params=None, scheduler_params=None, adaptive_params=None, n_epoch=10, earlystop_taskid=0, earlystop_patience=10, model_path="./", model_logger=None, mesh=None, seed=0, steps_per_call=1):
-        super().__init__(model, optimizer_params, scheduler_params, n_epoch, earlystop_patience, model_path, mesh, seed, model_logger)
+    def __init__(self, model, task_types, optimizer_params=None, regularization_params=None, scheduler_params=None, adaptive_params=None, n_epoch=10, earlystop_taskid=0, earlystop_patience=10, model_path="./", model_logger=None, mesh=None, seed=0, steps_per_call=1, precision=None):
+        super().__init__(model, optimizer_params, scheduler_params, n_epoch, earlystop_patience, model_path, mesh, seed, model_logger, precision=precision)
         # steps_per_call > 1 runs that many optimizer steps per device
         # dispatch via lax.scan over stacked batches (see CTRTrainer).
         self.steps_per_call = int(steps_per_call)
@@ -94,10 +96,19 @@ class MTLTrainer(JaxTrainer):
     def init_state(self, x_sample):
         init_rng, self._rng = jax.random.split(self._rng)
         x_dev = {k: jnp.asarray(v) for k, v in x_sample.items()}
-        init_fn = jax.jit(lambda rngs, x: self.model.init(rngs, x, training=False))
+        def _init(rngs, x):
+            with self.pscope():
+                return self.model.init(rngs, x, training=False)
+
+        init_fn = jax.jit(_init)
         variables = init_fn({"params": init_rng, "dropout": init_rng}, x_dev)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
+        if self.mesh is not None:
+            from ..parallel import mesh as mesh_lib
+
+            params = mesh_lib.shard_params(params, self.mesh)
+            batch_stats = jax.tree_util.tree_map(lambda a: jax.device_put(a, mesh_lib.replicated_sharding(self.mesh)), batch_stats)
         if self.adaptive_method == "uwl":
             loss_weight = jnp.zeros((self.n_task,), jnp.float32)
         elif self.adaptive_method == "gradnorm":
@@ -128,7 +139,8 @@ class MTLTrainer(JaxTrainer):
         tx = self.tx
 
         def forward_losses(params, batch_stats, x, ys, w, rng):
-            out, mutated = model.apply({"params": params, "batch_stats": batch_stats}, x, training=True, rngs={"dropout": rng}, mutable=["batch_stats"])
+            with self.pscope():
+                out, mutated = model.apply({"params": params, "batch_stats": batch_stats}, x, training=True, rngs={"dropout": rng}, mutable=["batch_stats"])
             loss_list = jnp.stack([_task_loss(out[:, i], ys[:, i].astype(jnp.float32), task_types[i], w) for i in range(n_task)])
             return loss_list, mutated.get("batch_stats", batch_stats)
 
@@ -223,7 +235,9 @@ class MTLTrainer(JaxTrainer):
 
         @jax.jit
         def predict_step(params, batch_stats, x):
-            return model.apply({"params": params, "batch_stats": batch_stats}, x, training=False)
+            with self.pscope():
+                out = model.apply({"params": params, "batch_stats": batch_stats}, x, training=False)
+            return out.astype(jnp.float32)
 
         self._train_step, self._train_steps_scan, self._predict_step = train_step, train_steps_scan, predict_step
 

@@ -28,7 +28,7 @@ def next_token_loss(logits, seq_tokens, targets, temperature: float = 1.0, ignor
     """Shifted next-token CE (reference ``seq_trainer.py:169-187`` semantics)."""
     next_tokens = jnp.concatenate([seq_tokens[:, 1:], targets[:, None]], axis=1)
     next_tokens = jnp.where(seq_tokens == 0, 0, next_tokens)
-    logits = logits.at[..., 0].set(-1e9)
+    logits = logits.astype(jnp.float32).at[..., 0].set(-1e9)
     log_probs = jax.nn.log_softmax(logits / temperature, axis=-1)
     nll = -jnp.take_along_axis(log_probs, next_tokens[..., None].astype(jnp.int32), axis=-1)[..., 0]
     mask = (next_tokens != ignore_index).astype(nll.dtype)
@@ -36,8 +36,8 @@ def next_token_loss(logits, seq_tokens, targets, temperature: float = 1.0, ignor
 
 
 class SeqTrainer(JaxTrainer):
-    def __init__(self, model, optimizer_params=None, scheduler_params=None, n_epoch=10, earlystop_patience=10, model_path="./", loss_type="cross_entropy", loss_params=None, model_logger=None, mesh=None, seed=0, vocab_chunk_size=None, steps_per_call=1):
-        super().__init__(model, optimizer_params, scheduler_params, n_epoch, earlystop_patience, model_path, mesh, seed, model_logger)
+    def __init__(self, model, optimizer_params=None, scheduler_params=None, n_epoch=10, earlystop_patience=10, model_path="./", loss_type="cross_entropy", loss_params=None, model_logger=None, mesh=None, seed=0, vocab_chunk_size=None, steps_per_call=1, precision=None):
+        super().__init__(model, optimizer_params, scheduler_params, n_epoch, earlystop_patience, model_path, mesh, seed, model_logger, precision=precision)
         self.loss_type = loss_type
         if loss_type == "nce":
             self.loss_params = loss_params or {"temperature": 0.1, "ignore_index": 0}
@@ -69,10 +69,12 @@ class SeqTrainer(JaxTrainer):
         def loss_fn(params, batch_stats, seq_tokens, time_diffs, targets, rng):
             variables = {"params": params, "batch_stats": batch_stats, **consts}
             if chunk is not None:
-                out, mutated = model.apply(variables, seq_tokens, time_diffs, training=True, return_hidden=True, rngs={"dropout": rng}, mutable=["batch_stats"])
-                loss = chunked_next_token_loss(out["hidden"], out["weight"], seq_tokens, targets, out["bias"], chunked_t, ignore_index, chunk)
+                with self.pscope():
+                    out, mutated = model.apply(variables, seq_tokens, time_diffs, training=True, return_hidden=True, rngs={"dropout": rng}, mutable=["batch_stats"])
+                    loss = chunked_next_token_loss(out["hidden"], out["weight"], seq_tokens, targets, out["bias"], chunked_t, ignore_index, chunk)
                 return loss, mutated.get("batch_stats", batch_stats)
-            logits, mutated = model.apply(variables, seq_tokens, time_diffs, training=True, rngs={"dropout": rng}, mutable=["batch_stats"])
+            with self.pscope():
+                logits, mutated = model.apply(variables, seq_tokens, time_diffs, training=True, rngs={"dropout": rng}, mutable=["batch_stats"])
             loss = next_token_loss(logits, seq_tokens, targets, temperature, ignore_index)
             return loss, mutated.get("batch_stats", batch_stats)
 
@@ -101,11 +103,14 @@ class SeqTrainer(JaxTrainer):
         def eval_step(params, batch_stats, seq_tokens, time_diffs, targets):
             variables = {"params": params, "batch_stats": batch_stats, **consts}
             if chunk is not None:
-                out = model.apply(variables, seq_tokens, time_diffs, training=False, return_hidden=True)
-                loss = chunked_next_token_loss(out["hidden"], out["weight"], seq_tokens, targets, out["bias"], chunked_t, ignore_index, chunk)
-                last = chunked_last_logits(out["hidden"][:, -1, :], out["weight"], out["bias"], chunked_t).at[:, ignore_index].set(-1e9)
+                with self.pscope():
+                    out = model.apply(variables, seq_tokens, time_diffs, training=False, return_hidden=True)
+                    loss = chunked_next_token_loss(out["hidden"], out["weight"], seq_tokens, targets, out["bias"], chunked_t, ignore_index, chunk)
+                    last = chunked_last_logits(out["hidden"][:, -1, :], out["weight"], out["bias"], chunked_t)
+                last = last.astype(jnp.float32).at[:, ignore_index].set(-1e9)
                 return loss, jnp.argmax(last, axis=-1)
-            logits = model.apply(variables, seq_tokens, time_diffs, training=False)
+            with self.pscope():
+                logits = model.apply(variables, seq_tokens, time_diffs, training=False)
             loss = next_token_loss(logits, seq_tokens, targets, temperature, ignore_index)
             last = logits[:, -1, :].at[:, 0].set(-1e9)
             preds = jnp.argmax(last, axis=-1)
@@ -116,11 +121,24 @@ class SeqTrainer(JaxTrainer):
     def init_state_from_batch(self, batch):
         seq_tokens, _pos, time_diffs, _targets = batch
         init_rng, self._rng = jax.random.split(self._rng)
-        init_fn = jax.jit(lambda rngs, toks, tds: self.model.init(rngs, toks, tds, training=False))
+        def _init(rngs, toks, tds):
+            with self.pscope():
+                return self.model.init(rngs, toks, tds, training=False)
+
+        init_fn = jax.jit(_init)
         variables = init_fn({"params": init_rng, "dropout": init_rng}, jnp.asarray(seq_tokens), jnp.asarray(time_diffs))
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         self.const_vars = {k: v for k, v in variables.items() if k not in ("params", "batch_stats")}
+        if self.mesh is not None:
+            # SPMD placement: the token/output vocab table row-shards over the
+            # model axis (when >= mesh.SHARD_MIN_ROWS), so the chunked-CE
+            # logits matmul runs vocab-sharded (SURVEY.md:558-561 plan);
+            # everything else replicates.
+            from ..parallel import mesh as mesh_lib
+
+            params = mesh_lib.shard_params(params, self.mesh)
+            batch_stats = jax.tree_util.tree_map(lambda a: jax.device_put(a, mesh_lib.replicated_sharding(self.mesh)), batch_stats)
         opt_state = self.tx.init(params)
         from .base import TrainState as TS
 
@@ -167,9 +185,19 @@ class SeqTrainer(JaxTrainer):
         t0 = time.perf_counter()
 
         from ..data.dataset import prefetch_to_device
+        from ..parallel import mesh as mesh_lib
 
-        groups = prefetch_to_device(self._iter_groups(data_loader), size=2)
+        # stacked groups are (n, B, ...): scan axis replicated, batch over
+        # `data`; odd tail batches are (B, ...) and re-placed per ndim below
+        sharding = mesh_lib.scan_batch_sharding(self.mesh)
+        batch_sharding = mesh_lib.batch_sharding(self.mesh)
+        groups = self._iter_groups(data_loader)
+        if sharding is None:
+            groups = prefetch_to_device(groups, size=2)
         for gi, (toks, tds, tgts) in enumerate(groups):
+            if sharding is not None:
+                sh = sharding if np.asarray(toks).ndim == 3 else batch_sharding
+                toks, tds, tgts = (jax.device_put(jnp.asarray(a), sh) for a in (toks, tds, tgts))
             if toks.ndim == 3:  # stacked (n, B, L) scan group
                 self.state, group = self._train_steps_scan(self.state, toks, tds, tgts, lr_dev, self.next_dropout_rng())
                 losses.append(group)

@@ -188,6 +188,7 @@ def inbatch_loss_from_logits(logits: jax.Array, mode: int, weight=None):
     exactly with ``psum`` — a mean of per-shard means would be wrong whenever
     pad-mask weights differ across shards.
     """
+    logits = logits.astype(jnp.float32)  # losses stay f32 under bf16 compute
     if mode == 1:  # pair-wise BPR: positive column vs every sampled negative
         per_sample = -jnp.mean(jax.nn.log_sigmoid(logits[:, :1] - logits[:, 1:]), axis=1)
     else:  # list-wise CE with the positive fixed at column 0
