@@ -38,7 +38,7 @@ import time
 import numpy as np
 
 REFERENCE_EXAMPLES_PER_S = 14380.7  # torch-rechub DeepFM, torch CPU, small tables
-REFERENCE_FULL_EXAMPLES_PER_S = 10944.0  # same, Criteo-full-shaped vocabs (see BASELINE.md)
+REFERENCE_FULL_EXAMPLES_PER_S = 3099.4  # same, Criteo-full-shaped vocabs (idle-machine median, see BASELINE.md)
 
 B, N_SPARSE, N_DENSE, VOCAB, DIM = 4096, 26, 13, 10000, 16
 N_BATCHES = 192  # fresh examples per epoch = N_BATCHES * B ≈ 786k

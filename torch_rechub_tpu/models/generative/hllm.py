@@ -20,6 +20,7 @@ import numpy as np
 
 from ...basic.layers import torch_linear_init
 from ...utils.hstu_utils import RelPosBias, bucketize_time
+from ...basic.precision import compute_dtype
 
 
 class HLLMTransformerBlock(nn.Module):
@@ -34,7 +35,7 @@ class HLLMTransformerBlock(nn.Module):
         head_dim = d // h
         residual = x
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
-        dense = lambda name: nn.Dense(d, kernel_init=torch_linear_init, name=name)
+        dense = lambda name: nn.Dense(d, kernel_init=torch_linear_init, name=name, dtype=compute_dtype())
         q = dense("W_Q")(x).reshape(b, l, h, head_dim).transpose(0, 2, 1, 3)
         k = dense("W_K")(x).reshape(b, l, h, head_dim).transpose(0, 2, 1, 3)
         v = dense("W_V")(x).reshape(b, l, h, head_dim).transpose(0, 2, 1, 3)
@@ -52,10 +53,10 @@ class HLLMTransformerBlock(nn.Module):
 
         residual = x
         x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
-        x = nn.Dense(4 * d, kernel_init=torch_linear_init)(x)
+        x = nn.Dense(4 * d, kernel_init=torch_linear_init, dtype=compute_dtype())(x)
         x = jax.nn.relu(x)
         x = nn.Dropout(self.dropout, deterministic=not training)(x)
-        x = nn.Dense(d, kernel_init=torch_linear_init)(x)
+        x = nn.Dense(d, kernel_init=torch_linear_init, dtype=compute_dtype())(x)
         x = nn.Dropout(self.dropout, deterministic=not training)(x)
         return residual + x
 

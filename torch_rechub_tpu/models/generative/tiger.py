@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...basic.layers import torch_linear_init
+from ...basic.precision import compute_dtype
 
 
 class _MHA(nn.Module):
@@ -30,7 +31,7 @@ class _MHA(nn.Module):
     def __call__(self, q_in, kv_in, mask=None, training: bool = False):
         d, h = self.d_model, self.n_heads
         hd = d // h
-        dense = lambda name: nn.Dense(d, use_bias=False, kernel_init=torch_linear_init, name=name)
+        dense = lambda name: nn.Dense(d, use_bias=False, kernel_init=torch_linear_init, name=name, dtype=compute_dtype())
         q = dense("q")(q_in).reshape(*q_in.shape[:-1], h, hd)
         k = dense("k")(kv_in).reshape(*kv_in.shape[:-1], h, hd)
         v = dense("v")(kv_in).reshape(*kv_in.shape[:-1], h, hd)
@@ -50,9 +51,9 @@ class _FFN(nn.Module):
 
     @nn.compact
     def __call__(self, x, training: bool = False):
-        h = jax.nn.relu(nn.Dense(self.d_ff, use_bias=False, kernel_init=torch_linear_init)(x))
+        h = jax.nn.relu(nn.Dense(self.d_ff, use_bias=False, kernel_init=torch_linear_init, dtype=compute_dtype())(x))
         h = nn.Dropout(self.dropout, deterministic=not training)(h)
-        return nn.Dense(self.d_model, use_bias=False, kernel_init=torch_linear_init)(h)
+        return nn.Dense(self.d_model, use_bias=False, kernel_init=torch_linear_init, dtype=compute_dtype())(h)
 
 
 class _EncoderLayer(nn.Module):

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from ...basic.layers import torch_linear_init
 from ...ops.embedding import EmbeddingCollection
+from ...basic.precision import compute_dtype
 
 
 class PointWiseFeedForward(nn.Module):
@@ -25,10 +26,10 @@ class PointWiseFeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x, training: bool = False):
-        out = nn.Dense(self.hidden, kernel_init=torch_linear_init)(x)
+        out = nn.Dense(self.hidden, kernel_init=torch_linear_init, dtype=compute_dtype())(x)
         out = nn.Dropout(self.dropout, deterministic=not training)(out)
         out = jax.nn.relu(out)
-        out = nn.Dense(self.hidden, kernel_init=torch_linear_init)(out)
+        out = nn.Dense(self.hidden, kernel_init=torch_linear_init, dtype=compute_dtype())(out)
         out = nn.Dropout(self.dropout, deterministic=not training)(out)
         return out + x
 

@@ -13,6 +13,7 @@ from typing import Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from ...basic.precision import compute_dtype
 
 
 class STAMP(nn.Module):
@@ -32,8 +33,8 @@ class STAMP(nn.Module):
         self.w_2_t = self.param("w_2_t", wn, (d, d))
         self.w_3_t = self.param("w_3_t", wn, (d, d))
         self.b_a = self.param("b_a", nn.initializers.zeros, (d,))
-        self.f_s = nn.Dense(d, kernel_init=en, bias_init=nn.initializers.zeros)
-        self.f_t = nn.Dense(d, kernel_init=en, bias_init=nn.initializers.zeros)
+        self.f_s = nn.Dense(d, kernel_init=en, bias_init=nn.initializers.zeros, dtype=compute_dtype())
+        self.f_t = nn.Dense(d, kernel_init=en, bias_init=nn.initializers.zeros, dtype=compute_dtype())
 
     def _user_repr(self, x):
         ids = x[self.item_history_feature.name].astype(jnp.int32)

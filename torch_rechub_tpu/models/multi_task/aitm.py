@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from ...basic.layers import MLP, torch_linear_init
 from ...ops.embedding import EmbeddingCollection
+from ...basic.precision import compute_dtype
 
 
 class AttentionLayer(nn.Module):
@@ -22,7 +23,7 @@ class AttentionLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x):  # (B, 2, D) -> (B, D)
-        dense = lambda name: nn.Dense(self.dim, use_bias=False, kernel_init=torch_linear_init, name=name)
+        dense = lambda name: nn.Dense(self.dim, use_bias=False, kernel_init=torch_linear_init, name=name, dtype=compute_dtype())
         q, k, v = dense("q_layer")(x), dense("k_layer")(x), dense("v_layer")(x)
         a = jax.nn.softmax(jnp.sum(q * k, axis=-1) / jnp.sqrt(float(self.dim)), axis=1)
         return jnp.sum(a[..., None] * v, axis=1)

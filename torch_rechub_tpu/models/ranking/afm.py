@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from ...basic.layers import FM, LR, torch_linear_init
 from ...ops.embedding import EmbeddingCollection
+from ...basic.precision import compute_dtype
 
 
 class AFM(nn.Module):
@@ -28,7 +29,7 @@ class AFM(nn.Module):
         input_fm = EmbeddingCollection(features=features)(x, features, squeeze_dim=False)
         y_linear = LR()(input_fm.reshape(input_fm.shape[0], -1))
         y_fm = FM(reduce_sum=False)(input_fm)  # (B, D)
-        att = jax.nn.relu(nn.Dense(self.t, kernel_init=torch_linear_init)(y_fm))
+        att = jax.nn.relu(nn.Dense(self.t, kernel_init=torch_linear_init, dtype=compute_dtype())(y_fm))
         h = self.param("h", nn.initializers.xavier_uniform(), (self.t, 1))
         p = self.param("p", nn.initializers.xavier_uniform(), (self.embed_dim, 1))
         atts = jax.nn.softmax(att @ h, axis=1)  # (B, 1)

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from ...basic.layers import LR, MLP, InteractingLayer, torch_linear_init
 from ...ops.embedding import EmbeddingCollection
+from ...basic.precision import compute_dtype
 
 
 class AutoInt(nn.Module):
@@ -36,14 +37,14 @@ class AutoInt(nn.Module):
         parts = [sparse_emb]
         for fea in dense:
             v = x[fea.name].astype(jnp.float32).reshape(-1, 1, 1)
-            parts.append(nn.Dense(embed_dim, use_bias=False, kernel_init=torch_linear_init, name=f"dense_{fea.name}")(v))
+            parts.append(nn.Dense(embed_dim, use_bias=False, kernel_init=torch_linear_init, name=f"dense_{fea.name}", dtype=compute_dtype())(v))
         embed_x = jnp.concatenate(parts, axis=1) if len(parts) > 1 else sparse_emb
         flat = embed_x.reshape(embed_x.shape[0], -1)
 
         attn = embed_x
         for _ in range(self.num_layers):
             attn = InteractingLayer(embed_dim, num_heads=self.num_heads, dropout=self.dropout)(attn, training=training)
-        y = nn.Dense(1, kernel_init=torch_linear_init, name="attn_linear")(attn.reshape(attn.shape[0], -1))
+        y = nn.Dense(1, kernel_init=torch_linear_init, name="attn_linear", dtype=compute_dtype())(attn.reshape(attn.shape[0], -1))
         y = y + LR()(flat)
         if self.mlp_params is not None:
             y = y + MLP(**self.mlp_params)(flat, training=training)

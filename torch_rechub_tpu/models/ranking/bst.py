@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from ...basic.layers import MLP, torch_linear_init
 from ...ops.embedding import EmbeddingCollection
+from ...basic.precision import compute_dtype
 
 
 class TransformerEncoderLayer(nn.Module):
@@ -39,10 +40,10 @@ class TransformerEncoderLayer(nn.Module):
             kernel_init=torch_linear_init,
         )(x, x, mask=attn_mask)
         x = nn.LayerNorm(epsilon=1e-5)(x + nn.Dropout(self.dropout, deterministic=not training)(attn))
-        ff = nn.Dense(self.dim_feedforward, kernel_init=torch_linear_init)(x)
+        ff = nn.Dense(self.dim_feedforward, kernel_init=torch_linear_init, dtype=compute_dtype())(x)
         ff = jax.nn.leaky_relu(ff, negative_slope=0.01)
         ff = nn.Dropout(self.dropout, deterministic=not training)(ff)
-        ff = nn.Dense(self.d_model, kernel_init=torch_linear_init)(ff)
+        ff = nn.Dense(self.d_model, kernel_init=torch_linear_init, dtype=compute_dtype())(ff)
         return nn.LayerNorm(epsilon=1e-5)(x + nn.Dropout(self.dropout, deterministic=not training)(ff))
 
 

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from ...basic.layers import MLP, CrossLayer, LR, torch_linear_init
 from ...ops.embedding import EmbeddingCollection
+from ...basic.precision import compute_dtype
 
 
 class BridgeModule(nn.Module):
@@ -33,13 +34,13 @@ class BridgeModule(nn.Module):
             return x + h
         if self.bridge_type == "concatenation":
             d = x.shape[-1]
-            return jax.nn.relu(nn.Dense(d, kernel_init=torch_linear_init)(jnp.concatenate([x, h], axis=-1)))
+            return jax.nn.relu(nn.Dense(d, kernel_init=torch_linear_init, dtype=compute_dtype())(jnp.concatenate([x, h], axis=-1)))
         if self.bridge_type == "attention_pooling":
             d = x.shape[-1]
 
             def att(name, v):
-                a = jax.nn.relu(nn.Dense(d, kernel_init=torch_linear_init, name=f"{name}_1")(v))
-                a = nn.Dense(d, use_bias=False, kernel_init=torch_linear_init, name=f"{name}_2")(a)
+                a = jax.nn.relu(nn.Dense(d, kernel_init=torch_linear_init, name=f"{name}_1", dtype=compute_dtype())(v))
+                a = nn.Dense(d, use_bias=False, kernel_init=torch_linear_init, name=f"{name}_2", dtype=compute_dtype())(a)
                 return jax.nn.softmax(a, axis=-1)
 
             return att("attention_x", x) * x + att("attention_h", h) * h
