@@ -139,3 +139,67 @@ def test_chunked_ce_bf16_close_to_f32():
     l16 = chunked_next_token_loss(jnp.asarray(hidden, jnp.bfloat16), jnp.asarray(weight), jnp.asarray(toks), jnp.asarray(tgts), chunk_size=64)
     assert l16.dtype == jnp.float32  # loss always f32
     np.testing.assert_allclose(float(l16), float(l32), atol=3e-2, rtol=1e-2)
+
+
+def test_bf16_match_trainer_inbatch():
+    """MatchTrainer under bf16: in-batch list-wise training runs, towers emit
+    f32 embeddings (cast at the predict/tower boundary), params stay f32."""
+    from torch_rechub_tpu.models.matching import DSSM
+    from torch_rechub_tpu.trainers.match_trainer import MatchTrainer
+    from torch_rechub_tpu.utils.data import ArrayLoader
+
+    rng = np.random.default_rng(0)
+    n = 256
+    x = {
+        "user_id": rng.integers(0, 50, n).astype(np.int32),
+        "movie_id": rng.integers(0, 80, n).astype(np.int32),
+    }
+    y = np.zeros(n, np.int64)
+    user_f = (SparseFeature("user_id", 50, embed_dim=8),)
+    item_f = (SparseFeature("movie_id", 80, embed_dim=8),)
+    model = DSSM(user_features=user_f, item_features=item_f, user_params={"dims": (16,), "dropout": 0.0}, item_params={"dims": (16,), "dropout": 0.0})
+    t = MatchTrainer(model, mode=2, in_batch_neg=True, in_batch_neg_ratio=4, n_epoch=1, model_path="/tmp/prec_match", precision="bf16")
+    loss = t.train_one_epoch(ArrayLoader(x, y, batch_size=64), log_interval=0)
+    assert np.isfinite(loss)
+    emb = t.inference_embedding(model, "user", ArrayLoader(x, batch_size=64), "")
+    assert emb.dtype == np.float32
+    assert {str(l.dtype) for l in jax.tree_util.tree_leaves(t.state.params)} == {"float32"}
+
+
+@pytest.mark.parametrize("method", ["uwl", "metabalance"])
+def test_bf16_mtl_trainer(method):
+    from torch_rechub_tpu.models.multi_task import MMOE
+    from torch_rechub_tpu.trainers.mtl_trainer import MTLTrainer
+    from torch_rechub_tpu.utils.data import ArrayLoader
+
+    rng = np.random.default_rng(1)
+    n = 256
+    x = {f"C{i}": rng.integers(0, 30, n).astype(np.int32) for i in range(3)}
+    ys = rng.integers(0, 2, (n, 2)).astype(np.float32)
+    feats = tuple(SparseFeature(f"C{i}", 30, embed_dim=6) for i in range(3))
+    model = MMOE(features=feats, task_types=("classification", "classification"), n_expert=2, expert_params={"dims": (8,), "dropout": 0.0}, tower_params_list=({"dims": (4,)}, {"dims": (4,)}))
+    t = MTLTrainer(model, ("classification", "classification"), adaptive_params={"method": method}, n_epoch=1, model_path="/tmp/prec_mtl", precision="bf16")
+    losses = t.train_one_epoch(ArrayLoader(x, ys, batch_size=64), log_interval=0)
+    assert np.all(np.isfinite(losses))
+    assert {str(l.dtype) for l in jax.tree_util.tree_leaves(t.state.params)} == {"float32"}
+
+
+def test_bf16_seq_trainer_chunked():
+    from torch_rechub_tpu.models.generative import HSTUModel
+    from torch_rechub_tpu.trainers.seq_trainer import SeqTrainer
+    from torch_rechub_tpu.utils.data import SeqLoader
+
+    rng = np.random.default_rng(2)
+    n, l, vocab = 32, 8, 300
+    toks = rng.integers(1, vocab, (n, l)).astype(np.int32)
+    pos = np.broadcast_to(np.arange(l, dtype=np.int32), (n, l)).copy()
+    tds = np.zeros((n, l), np.int32)
+    tgts = rng.integers(1, vocab, n).astype(np.int32)
+    model = HSTUModel(vocab_size=vocab, d_model=16, n_heads=2, n_layers=1, dqk=8, dv=8, max_seq_len=l, dropout=0.0)
+    t = SeqTrainer(model, n_epoch=1, model_path="/tmp/prec_seq", vocab_chunk_size=128, precision="bf16")
+    loader = SeqLoader(toks, pos, tgts, tds, batch_size=16)
+    loss = t.train_one_epoch(loader, log_interval=0)
+    assert np.isfinite(loss)
+    vloss, acc = t.evaluate(loader)
+    assert np.isfinite(vloss) and 0.0 <= acc <= 1.0
+    assert {str(l.dtype) for l in jax.tree_util.tree_leaves(t.state.params)} == {"float32"}
