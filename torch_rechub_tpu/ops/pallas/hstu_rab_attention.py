@@ -205,28 +205,35 @@ def _bwd_dq_kernel(pw_ref, tw_ref, ts_ref, q_ref, k_ref, v_ref, g_ref, mask_ref,
 
     dpos: each ds tile is lane-rotated by log-doubling so element (i, c)
     lands at diagonal slot k0+c+(block_q-1-i) — the Toeplitz-transpose of the
-    forward band build.  dts: the bucket-range loop accumulates tile sums per
-    bucket into a sublane column.
+    forward band build.  dts: the bucket-range loop reduces the tile per
+    bucket and scatters the scalar into a LANE-major ``(1, nb_lanes)``
+    register row via a lane one-hot — the row rides the k-tile loop carry and
+    is written once (the round-3 version RMW'd a ``(nb, 1)`` sublane column
+    per bucket, whose 1-lane ops serialized the whole backward: measured 2x
+    bwd time at L2048).
     """
     qi = pl.program_id(1)
     head = pl.program_id(0) % n_heads
     l = k_ref.shape[1]
     q0 = qi * block_q
     wp = l + block_q
+    nb_lanes = dts_ref.shape[-1]
     center = max_seq_len - 1
     _build_band(pw_ref, band_ref, center - q0 - (block_q - 1), block_q, l)
     dpos_acc[0, :] = jnp.zeros((wp,), jnp.float32)
-    dts_ref[0, 0, :, 0] = jnp.zeros((dts_ref.shape[2],), jnp.float32)
 
     q = q_ref[0]
     g = g_ref[0]  # (block_q, dv)
     dq_acc = jnp.zeros_like(q, shape=(block_q, q.shape[-1]), dtype=jnp.float32)
+    dts_row = jnp.zeros((1, nb_lanes), jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, nb_lanes), 1)
     q_pos = q0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
     tq = ts_ref[0, 0, pl.ds(q0, block_q)] if has_time else None
 
     num_k = pl.cdiv((qi + 1) * block_q, block_k)
 
-    def body(ki, dq_acc):
+    def body(ki, carry):
+        dq_acc, dts_row = carry
         k0 = pl.multiple_of(ki * block_k, block_k)
         k_blk = k_ref[0, pl.ds(k0, block_k), :]
         v_blk = v_ref[0, pl.ds(k0, block_k), :]
@@ -246,18 +253,21 @@ def _bwd_dq_kernel(pw_ref, tw_ref, ts_ref, q_ref, k_ref, v_ref, g_ref, mask_ref,
 
         # --- bias-table grads from this tile ---
         if has_time:
-            lo = jnp.min(bucket)
-            hi = jnp.max(bucket)
-            last = dts_ref.shape[2] - 1  # clamp target for past-`hi` chunk lanes (add 0 there)
+            # recompute the bucket map here (cheap VPU arithmetic) instead of
+            # holding the (bq, bk) i32 tile live across the two dots above —
+            # shorter live range, less register pressure
+            bucket2 = _bucketize(tq[:, None] - tk[None, :], cfg)
+            lo = jnp.min(bucket2)
+            hi = jnp.max(bucket2)
 
-            def dts_body(c, _):
+            def dts_body(c, row):
                 u0 = lo + c * _TW_CHUNK
                 for j in range(_TW_CHUNK):
-                    u = jnp.minimum(u0 + j, last)
-                    dts_ref[0, 0, pl.ds(u, 1), 0] += jnp.sum(ds * (bucket == (u0 + j))).reshape(1)
-                return 0
+                    u = u0 + j  # u > nb contributes 0 (no bucket matches)
+                    row = row + jnp.sum(ds * (bucket2 == u)) * (lane == u).astype(jnp.float32)
+                return row
 
-            jax.lax.fori_loop(0, (hi - lo + _TW_CHUNK) // _TW_CHUNK, dts_body, 0)
+            dts_row = jax.lax.fori_loop(0, (hi - lo + _TW_CHUNK) // _TW_CHUNK, dts_body, dts_row)
         # accumulate this tile's diagonal sums into a (bq+bk) lane window at
         # offset k0: element (i, c) lands at slot c + (bq-1-i), i.e. row i
         # rolls right by (bq-1)-i — done by log-doubling (roll all rows by
@@ -272,10 +282,12 @@ def _bwd_dq_kernel(pw_ref, tw_ref, ts_ref, q_ref, k_ref, v_ref, g_ref, mask_ref,
             sh *= 2
         dpos_acc[0, pl.ds(k0, wt)] += jnp.sum(x, axis=0)
 
-        return dq_acc + jax.lax.dot_general(ds.astype(k_blk.dtype), k_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32) * alpha
+        dq_acc = dq_acc + jax.lax.dot_general(ds.astype(k_blk.dtype), k_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32) * alpha
+        return dq_acc, dts_row
 
-    dq_acc = jax.lax.fori_loop(0, num_k, body, dq_acc)
+    dq_acc, dts_row = jax.lax.fori_loop(0, num_k, body, (dq_acc, dts_row))
     dq_ref[0] = dq_acc.astype(dq_ref.dtype)
+    dts_ref[0, 0] = dts_row
     dpos_ref[0, 0, 0, :] = dpos_acc[0, :]
 
 
@@ -405,7 +417,7 @@ def _pallas_backward_qkv(q, k, v, g, pos_w, ts_w, timestamps, mask, alpha, max_s
     n_q = l // block_q
     wp = l + block_q
     nbp1 = tw.shape[1]
-    nbp1_pad = -(-nbp1 // 8) * 8
+    nb_lanes = -(-nbp1 // 128) * 128  # lane-major dts row, 128-lane aligned
     dq, dpos_parts, dts_parts = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, **common),
         grid=(bh, n_q),
@@ -420,12 +432,12 @@ def _pallas_backward_qkv(q, k, v, g, pos_w, ts_w, timestamps, mask, alpha, max_s
         out_specs=[
             pl.BlockSpec((1, block_q, dqk), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, 1, 1, wp), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, nbp1_pad, 1), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, nb_lanes), lambda i, j: (i, j, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, l, dqk), q.dtype),
             jax.ShapeDtypeStruct((bh, n_q, 1, wp), jnp.float32),
-            jax.ShapeDtypeStruct((bh, n_q, nbp1_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bh, n_q, 1, nb_lanes), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, l), jnp.float32),                 # band
@@ -443,7 +455,7 @@ def _pallas_backward_qkv(q, k, v, g, pos_w, ts_w, timestamps, mask, alpha, max_s
         start = center - qi * block_q - (block_q - 1)
         buf = jax.lax.dynamic_update_slice(buf, jax.lax.dynamic_slice(buf, (0, start), (h, wp)) + dpos_bh[:, qi, :], (0, start))
     dpos = buf[:, :n_pos].T  # (n_pos, H)
-    dts = dts_parts.reshape(b, h, n_q, nbp1_pad).sum(axis=(0, 2))[:, :nbp1].T  # (nb+1, H)
+    dts = dts_parts.reshape(b, h, n_q, nb_lanes).sum(axis=(0, 2))[:, :nbp1].T  # (nb+1, H)
 
     dk, dv_out = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, **common),
