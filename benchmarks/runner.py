@@ -57,7 +57,7 @@ def run_ranking_benchmark(config: dict) -> dict:
     data_s = time.perf_counter() - t0
 
     model = build_ranking_model(config["model"], bundle, config.get("model_params"))
-    trainer = CTRTrainer(model, optimizer_params={"lr": config.get("learning_rate", 1e-3), "weight_decay": config.get("weight_decay", 1e-5)}, n_epoch=config.get("epochs", 1), model_path=config.get("output_dir", "/tmp/bench_out"), seed=config.get("seed", 2022))
+    trainer = CTRTrainer(model, optimizer_params={"lr": config.get("learning_rate", 1e-3), "weight_decay": config.get("weight_decay", 1e-5)}, n_epoch=config.get("epochs", 1), model_path=config.get("output_dir", "/tmp/bench_out"), seed=config.get("seed", 2022), precision=config.get("precision"))
     bs = config.get("batch_size", 256)
     train_dl = ArrayLoader(bundle.x_train, bundle.y_train, batch_size=bs, shuffle=True, seed=config.get("seed", 2022))
     test_dl = ArrayLoader(bundle.x_test, bundle.y_test, batch_size=bs)
@@ -81,7 +81,7 @@ def run_matching_benchmark(config: dict) -> dict:
     bundle = build_ml1m_matching_dataset(seed=config.get("seed", 2022), embed_dim=config.get("embed_dim", 16), mode=mode, neg_ratio=config.get("neg_ratio", 3), seq_max_len=config.get("seq_max_len", 20))
     data_s = time.perf_counter() - t0
     model = build_matching_model(config["model"], bundle, config.get("model_params"))
-    trainer = MatchTrainer(model, mode=mode, optimizer_params={"lr": config.get("learning_rate", 1e-3), "weight_decay": config.get("weight_decay", 1e-5)}, n_epoch=config.get("epochs", 1), model_path=config.get("output_dir", "/tmp/bench_out"), seed=config.get("seed", 2022))
+    trainer = MatchTrainer(model, mode=mode, optimizer_params={"lr": config.get("learning_rate", 1e-3), "weight_decay": config.get("weight_decay", 1e-5)}, n_epoch=config.get("epochs", 1), model_path=config.get("output_dir", "/tmp/bench_out"), seed=config.get("seed", 2022), precision=config.get("precision"))
     bs = config.get("batch_size", 256)
     t0 = time.perf_counter()
     trainer.fit(ArrayLoader(bundle.x_train, bundle.y_train, batch_size=bs, shuffle=True))
@@ -109,7 +109,7 @@ def run_multitask_benchmark(config: dict) -> dict:
     if config["model"] == "ESMM":
         task_types = ("classification",) * 3
     adaptive = {"method": config["adaptive_method"]} if config.get("adaptive_method") else None
-    trainer = MTLTrainer(model, task_types, adaptive_params=adaptive, optimizer_params={"lr": config.get("learning_rate", 1e-3), "weight_decay": config.get("weight_decay", 1e-5)}, n_epoch=config.get("epochs", 1), model_path=config.get("output_dir", "/tmp/bench_out"), seed=config.get("seed", 2022))
+    trainer = MTLTrainer(model, task_types, adaptive_params=adaptive, optimizer_params={"lr": config.get("learning_rate", 1e-3), "weight_decay": config.get("weight_decay", 1e-5)}, n_epoch=config.get("epochs", 1), model_path=config.get("output_dir", "/tmp/bench_out"), seed=config.get("seed", 2022), precision=config.get("precision"))
     bs = config.get("batch_size", 256)
     y_train, y_test = bundle.y_train, bundle.y_test
     if config["model"] == "ESMM":

@@ -37,6 +37,7 @@ COMMON_KEY_TYPES: Dict[str, Tuple[type, ...]] = {
     "output_dir": (str,),
     "model_params": (dict,),
     "mesh": (dict,),
+    "precision": (str,),
 }
 
 TASK_KEY_TYPES: Dict[str, Dict[str, Tuple[type, ...]]] = {
@@ -48,6 +49,7 @@ TASK_KEY_TYPES: Dict[str, Dict[str, Tuple[type, ...]]] = {
 # values with a closed domain
 MESH_AXES = {"data", "model"}
 MATCHING_MODES = {0, 1, 2}
+PRECISIONS = {"f32", "float32", "fp32", "bf16", "bfloat16", "mixed"}
 ADAPTIVE_METHODS = {"uwl", "gradnorm", "metabalance"}
 POSITIVE_INT_KEYS = {"epochs", "batch_size", "embed_dim", "topk", "neg_ratio", "seq_max_len"}
 
@@ -104,6 +106,10 @@ def validate_config(config: Any) -> None:
         bad = [k for k in model_params if not isinstance(k, str)]
         if bad:
             raise ValueError(f"model_params keys must be strings, got {bad}")
+
+    precision = config.get("precision")
+    if precision is not None and precision.lower() not in PRECISIONS:
+        raise ValueError(f"precision must be one of {sorted(PRECISIONS)}, got {precision!r}")
 
     if task == "ranking":
         metrics = config.get("metrics")

@@ -401,6 +401,82 @@ For an end-to-end latency/accuracy comparison of fp32 vs int8 serving, run
 ]
 
 
+NOTEBOOKS["06_Scaling_and_Precision.ipynb"] = [
+    ("md", """\
+# Scaling out and mixed precision
+
+Three TPU-native knobs the reference has no equivalent for: SPMD meshes,
+bf16 mixed precision, and sparse row-wise embedding updates. Everything
+below runs on CPU too (same code path)."""),
+    ("code", SETUP),
+    ("code", """\
+# learnable synthetic CTR data
+rng = np.random.default_rng(0)
+n = 2048
+x = {f"C{i}": rng.integers(0, 64, n).astype(np.int32) for i in range(5)}
+x.update({f"I{i}": rng.normal(size=n).astype(np.float32) for i in range(2)})
+logit = (x["C0"] % 2) * 2.0 - 1.0 + 1.5 * x["I0"]
+y = (rng.uniform(size=n) < 1 / (1 + np.exp(-logit))).astype(np.float32)"""),
+    ("md", """\
+## bf16 mixed precision
+
+`precision="bf16"` computes in bfloat16 with f32 parameters, losses and
+optimizer state. Measured seed-level quality parity (`docs/PRECISION.md`);
+fastest on MXU-bound models (sequence/generative, big towers)."""),
+    ("code", """\
+from torch_rechub_tpu.basic.features import DenseFeature, SparseFeature
+from torch_rechub_tpu.models.ranking import DeepFM
+from torch_rechub_tpu.trainers import CTRTrainer
+from torch_rechub_tpu.utils.data import DataGenerator
+
+sparse = tuple(SparseFeature(f"C{i}", vocab_size=64, embed_dim=8) for i in range(5))
+dense = tuple(DenseFeature(f"I{i}") for i in range(2))
+model = DeepFM(deep_features=dense, fm_features=sparse, mlp_params={"dims": (32,), "dropout": 0.0})
+tr, va, te = DataGenerator(x, y).generate_dataloader(split_ratio=[0.7, 0.1], batch_size=256)
+trainer = CTRTrainer(model, n_epoch=2, model_path="/tmp/tut06", precision="bf16")
+trainer.fit(tr, None, log_interval=0)
+print("bf16 AUC:", trainer.evaluate(model, te))"""),
+    ("md", """\
+## SPMD mesh
+
+One argument scales the same trainer across chips: batches shard over the
+`data` axis, embedding tables are placed by the budget-aware policy
+(`parallel.mesh.plan_table_placement` — fused/big tables row-shard over
+`model`, small ones replicate). On CPU this runs on virtual devices."""),
+    ("code", """\
+import jax
+from torch_rechub_tpu.parallel import create_mesh
+
+if jax.device_count() >= 2:
+    mesh = create_mesh(data=jax.device_count() // 1, model=1)
+    model_m = DeepFM(deep_features=dense, fm_features=sparse, mlp_params={"dims": (32,), "dropout": 0.0})
+    t_mesh = CTRTrainer(model_m, n_epoch=1, model_path="/tmp/tut06_mesh", mesh=mesh)
+    t_mesh.fit(tr, None, log_interval=0)
+    print("mesh:", dict(mesh.shape), "AUC:", t_mesh.evaluate(model_m, te))
+else:
+    print("single device — mesh demo skipped")"""),
+    ("md", """\
+## Sparse row-wise embedding updates
+
+At production vocab sizes a dense optimizer pass over the tables dominates
+the step. `sparse_embedding="adagrad"` updates only the rows a batch
+touched (row-wise Adagrad with in-batch dedup) — requires the fused table
+layout. Measured: 124x the reference at Criteo-full table geometry
+(`BASELINE.md`)."""),
+    ("code", """\
+from torch_rechub_tpu.ops.embedding import set_fused_default
+
+old = set_fused_default(True)  # small demo vocabs; >=262k-row tables fuse automatically
+try:
+    model_s = DeepFM(deep_features=dense, fm_features=sparse, mlp_params={"dims": (32,), "dropout": 0.0})
+    t_sparse = CTRTrainer(model_s, n_epoch=2, model_path="/tmp/tut06_sparse", sparse_embedding="adagrad")
+    t_sparse.fit(tr, None, log_interval=0)
+    print("sparse-adagrad AUC:", t_sparse.evaluate(model_s, te))
+finally:
+    set_fused_default(old)"""),
+]
+
+
 def main():
     for name, cells in NOTEBOOKS.items():
         path = os.path.join(HERE, name)
