@@ -60,7 +60,7 @@ def bench_shape(b, h, l, dqk, dv, maxl, steps=20, check=True, dtype=jnp.float32)
     q, k, v, pos_w, ts_w, ts, mask = make_inputs(b, h, l, dqk, dv, maxl, dtype=dtype)
     alpha = 1.0 / np.sqrt(dqk)
 
-    block_k = 256 if l % 256 == 0 else 128
+    block_k = 256 if l >= 2048 and l % 256 == 0 else 128  # round-4 sweep
 
     def loss_fused(q, k, v, pos_w, ts_w):
         out = hstu_attention_rab(q, k, v, pos_w, ts_w, ts, mask, alpha, maxl, CFG, 128, block_k)

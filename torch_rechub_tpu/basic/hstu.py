@@ -75,7 +75,10 @@ class HSTULayer(nn.Module):
             pos_w, ts_w = rab.tables()
             cfg = BucketCfg(num_buckets=self.num_time_buckets, fn=self.time_bucket_fn, divisor=self.time_bucket_divisor, unit=self.time_bucket_unit)
             mask = padding_mask if padding_mask is not None else jnp.ones((b, l), dtype=bool)
-            block_k = 256 if l % 256 == 0 else 128  # measured fastest at long L
+            # round-4 sweep (BASELINE.md): block_k=128 wins at L<=1024 (3.64 vs
+            # 4.06 ms at B8xL256 d64; 19.6 vs 20.1 ms at B8xL1024 d32), 256
+            # wins at L2048 (13.9 vs 14.7 ms)
+            block_k = 256 if l >= 2048 and l % 256 == 0 else 128
             attn_out = hstu_attention_rab(
                 q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), pos_w, ts_w, time_diffs, mask, alpha, self.max_seq_len, cfg, 128, block_k
             )  # (B, H, L, dv)
