@@ -39,6 +39,13 @@ class RQVAETrainer(JaxTrainer):
         batch_stats = variables.get("batch_stats", {})
         if self.model.kmeans_init:
             params = kmeans_init_codebooks(self.model, {"params": params, "batch_stats": batch_stats}, np.asarray(data[: min(len(data), 8192)]), num_iters=self.model.kmeans_iters, seed=self.seed)
+        if self.mesh is not None:
+            # DP-only SPMD: all RQ-VAE params (MLPs + codebooks) replicate;
+            # batches shard over `data` in the train loop below
+            from ..parallel import mesh as mesh_lib
+
+            params = mesh_lib.shard_params(params, self.mesh)
+            batch_stats = jax.tree_util.tree_map(lambda a: jax.device_put(a, mesh_lib.replicated_sharding(self.mesh)), batch_stats)
         opt_state = self.tx.init(params)
         self.state = TrainState(params=params, batch_stats=batch_stats, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
         return self.state
@@ -87,7 +94,7 @@ class RQVAETrainer(JaxTrainer):
             t0 = time.perf_counter()
             for xb in self._iter_batches(data, batch_size, epoch=epoch_i):
                 rng = self.next_dropout_rng()
-                self.state, loss = self._train_step(self.state, jnp.asarray(xb), jnp.asarray(lr, jnp.float32), rng)
+                self.state, loss = self._train_step(self.state, self.place_batch(jnp.asarray(xb)), jnp.asarray(lr, jnp.float32), rng)
                 losses.append(loss)
             epoch_loss = float(np.mean([to_numpy(l) for l in losses])) if losses else 0.0
             if not np.isfinite(epoch_loss):
