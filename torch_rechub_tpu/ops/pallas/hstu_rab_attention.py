@@ -51,6 +51,12 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 _FORCE_INTERPRET = [False]  # tests flip this to exercise kernels on CPU
+_FUSED_BWD = [True]  # False falls back to the split dq/dkv kernels (A/B bench)
+# Isolation-patch knobs for the component-cost breakdowns in BASELINE.md —
+# NEVER set outside perf experiments (they silently break numerics).
+# Members: "walk" (dts gradient walk), "bwd_select" (bias re-select in bwd),
+# "fwd_select" (bias select in fwd).
+_DEBUG_DISABLE: set = set()
 
 
 class BucketCfg(NamedTuple):
@@ -70,6 +76,38 @@ def _bucketize(dt_int, cfg: BucketCfg):
     dt = jnp.maximum(dt, 1e-6)
     b = jnp.sqrt(dt) if cfg.fn == "sqrt" else jnp.log(dt)
     return jnp.clip(b / cfg.divisor, 0, cfg.num_buckets).astype(jnp.int32)
+
+
+def compute_bucket_thresholds(cfg: BucketCfg) -> jnp.ndarray:
+    """``thr[u]`` = smallest int ``|dt|`` with ``_bucketize(dt) >= u`` (i32, ``(nb+1,)``).
+
+    Replaces per-tile bucketization inside the kernels: monotonicity of
+    ``_bucketize`` in ``|dt|`` (division/sqrt/log/clip/trunc are all monotone
+    under correctly-rounded f32) gives ``bucket(dt) >= u  <=>  |dt| >= thr[u]``
+    EXACTLY, so the kernels replace the per-bucket equality select with
+    compare-accumulate against precomputed integer boundaries.  Computed by
+    31-step vectorized binary search with ``_bucketize`` itself as the
+    predicate, so f32 rounding at the bucket edges is reproduced by
+    construction (property-tested in ``test_pallas_hstu_rab.py``).
+    Unreachable buckets get the i32-max sentinel; the kernels only walk
+    ``u <= bucket(max |dt| in tile)``, which never reaches a sentinel.
+    """
+    nbp1 = cfg.num_buckets + 1
+    imax = jnp.iinfo(jnp.int32).max
+    u = jnp.arange(nbp1, dtype=jnp.int32)
+    lo = jnp.zeros((nbp1,), jnp.int32)
+    hi = jnp.full((nbp1,), imax, jnp.int32)  # invariant: predicate holds at hi (if reachable)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = lo + (hi - lo) // 2  # overflow-safe midpoint
+        ok = _bucketize(mid, cfg) >= u
+        return jnp.where(ok, lo, mid + 1), jnp.where(ok, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
+    reachable = _bucketize(jnp.full((nbp1,), imax, jnp.int32), cfg) >= u
+    thr = jnp.where(reachable, hi, imax)
+    return thr.at[0].set(0)
 
 
 def _silu(x):
@@ -135,7 +173,8 @@ def _build_band(pw_ref, band_ref, start, rows, cols):
     band_ref[:, :] = tile[:, :cols]
 
 
-_TW_CHUNK = 8  # buckets per loop iteration (amortizes fori_loop overhead)
+_TW_CHUNK = 16  # buckets per loop iteration (measured: 16 beats 8 and 4 on v5e —
+# the scalar fori overhead outweighs the <= chunk-1 bucket overshoot)
 
 
 def _tw_select(tw_ref, head, bucket):
@@ -143,7 +182,10 @@ def _tw_select(tw_ref, head, bucket):
     over the tile's actual [min, max] bucket range (near-sorted timestamps =>
     few buckets per tile; correctness holds for any order).  The range is
     walked ``_TW_CHUNK`` buckets per iteration; reads past ``hi`` clamp to the
-    last table slot and contribute zero (no bucket matches there)."""
+    last table slot and contribute zero (no bucket matches there).
+
+    Legacy path (split bwd kernels); the fwd + fused-bwd kernels use the
+    threshold-based :func:`_tw_select_thr` instead."""
     lo = jnp.min(bucket)
     hi = jnp.max(bucket)
     last = tw_ref.shape[1] - 1
@@ -159,7 +201,51 @@ def _tw_select(tw_ref, head, bucket):
     return jax.lax.fori_loop(0, n, body, jnp.zeros(bucket.shape, jnp.float32))
 
 
-def _fwd_kernel(pw_ref, tw_ref, ts_ref, q_ref, k_ref, v_ref, mask_ref, out_ref, band_ref, *, alpha, inv_n, block_q, block_k, max_seq_len, cfg, has_time, n_heads):
+def _rank_in_thresholds(thr_ref, x, nbp1):
+    """max u in [0, nbp1) with ``thr[u] <= x`` — equals ``_bucketize(x)`` for
+    the tile's min/max ``|dt|`` scalars, computed by an unrolled bit-descent
+    binary search over the SMEM threshold table (8 scalar reads for nb=128;
+    no sqrt/log on the VPU)."""
+    last = nbp1 - 1
+    step = 1
+    while step * 2 < nbp1:
+        step *= 2
+    u = jnp.int32(0)
+    while step >= 1:
+        cand = u + step
+        ok = (cand <= last) & (thr_ref[0, jnp.minimum(cand, last)] <= x)
+        u = jnp.where(ok, cand, u)
+        step //= 2
+    return u
+
+
+def _tw_select_thr(tw_ref, thr_ref, head, adt, lo, hi):
+    """ts_w[bucket(adt)] via monotone compare-accumulate (no bucket tile).
+
+    ``bucket(dt) >= u  <=>  |dt| >= thr[u]`` exactly (see
+    :func:`compute_bucket_thresholds`), so the per-element table value
+    telescopes: ``tw[lo] + sum_{u in (lo, hi]} (tw[u] - tw[u-1]) * (adt >= thr[u])``.
+    Single-bucket tiles (common: clipped far-past deltas, dense repeats) walk
+    an EMPTY range — one scalar broadcast instead of 8 masked selects."""
+    acc = jnp.zeros(adt.shape, jnp.float32) + tw_ref[head, lo]
+    last = tw_ref.shape[1] - 1
+
+    def body(c, acc):
+        u0 = lo + 1 + c * _TW_CHUNK
+        for j in range(_TW_CHUNK):
+            u = u0 + j
+            uc = jnp.minimum(u, last)
+            d = (tw_ref[head, uc] - tw_ref[head, uc - 1]) * (u <= hi).astype(jnp.float32)
+            # compare + select-accumulate: one fewer VPU op per bucket than
+            # the d * mask.astype(f32) form (no bool->f32 materialization)
+            acc = jnp.where(adt >= thr_ref[0, uc], acc + d, acc)
+        return acc
+
+    n = (hi - lo + _TW_CHUNK - 1) // _TW_CHUNK
+    return jax.lax.fori_loop(0, n, body, acc)
+
+
+def _fwd_kernel(pw_ref, tw_ref, thr_ref, ts_ref, q_ref, k_ref, v_ref, mask_ref, out_ref, band_ref, *, alpha, inv_n, block_q, block_k, max_seq_len, cfg, has_time, n_heads):
     qi = pl.program_id(1)
     head = pl.program_id(0) % n_heads
     l = k_ref.shape[1]
@@ -183,7 +269,12 @@ def _fwd_kernel(pw_ref, tw_ref, ts_ref, q_ref, k_ref, v_ref, mask_ref, out_ref, 
         s = s * alpha + band_ref[:, pl.ds(k0, block_k)]
         if has_time:
             tk = ts_ref[0, 0, pl.ds(k0, block_k)]
-            s = s + _tw_select(tw_ref, head, _bucketize(tq[:, None] - tk[None, :], cfg))
+            adt = jnp.abs(tq[:, None] - tk[None, :])
+            nbp1 = tw_ref.shape[1]
+            lo = _rank_in_thresholds(thr_ref, jnp.min(adt), nbp1)
+            hi = _rank_in_thresholds(thr_ref, jnp.max(adt), nbp1)
+            if "fwd_select" not in _DEBUG_DISABLE:
+                s = s + _tw_select_thr(tw_ref, thr_ref, head, adt, lo, hi)
         k_pos = k0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         valid = (k_pos <= q_pos) & (m_blk[None, :] > 0)
         s = jnp.where(valid, s, -1e4)
@@ -200,7 +291,7 @@ def _fwd_kernel(pw_ref, tw_ref, ts_ref, q_ref, k_ref, v_ref, mask_ref, out_ref, 
 # backward kernels (dq; dk/dv) — same tile recompute, transposed loops
 # ---------------------------------------------------------------------------
 
-def _bwd_dq_kernel(pw_ref, tw_ref, ts_ref, q_ref, k_ref, v_ref, g_ref, mask_ref, dq_ref, dpos_ref, dts_ref, band_ref, dpos_acc, *, alpha, inv_n, block_q, block_k, max_seq_len, cfg, has_time, n_heads):
+def _bwd_dq_kernel(pw_ref, tw_ref, thr_ref, ts_ref, q_ref, k_ref, v_ref, g_ref, mask_ref, dq_ref, dpos_ref, dts_ref, band_ref, dpos_acc, *, alpha, inv_n, block_q, block_k, max_seq_len, cfg, has_time, n_heads):
     """dq + per-program dpos/dts partials, all from the same recomputed tiles.
 
     dpos: each ds tile is lane-rotated by log-doubling so element (i, c)
@@ -291,7 +382,7 @@ def _bwd_dq_kernel(pw_ref, tw_ref, ts_ref, q_ref, k_ref, v_ref, g_ref, mask_ref,
     dpos_ref[0, 0, 0, :] = dpos_acc[0, :]
 
 
-def _bwd_dkv_kernel(pw_ref, tw_ref, ts_ref, q_ref, k_ref, v_ref, g_ref, mask_ref, dk_ref, dv_ref, band_ref, *, alpha, inv_n, block_q, block_k, max_seq_len, cfg, has_time, n_heads):
+def _bwd_dkv_kernel(pw_ref, tw_ref, thr_ref, ts_ref, q_ref, k_ref, v_ref, g_ref, mask_ref, dk_ref, dv_ref, band_ref, *, alpha, inv_n, block_q, block_k, max_seq_len, cfg, has_time, n_heads):
     ki = pl.program_id(1)
     head = pl.program_id(0) % n_heads
     l = q_ref.shape[1]
@@ -346,12 +437,131 @@ def _bwd_dkv_kernel(pw_ref, tw_ref, ts_ref, q_ref, k_ref, v_ref, g_ref, mask_ref
     dv_ref[0] = dv_acc.astype(dv_ref.dtype)
 
 
+def _bwd_fused_kernel(pw_ref, tw_ref, thr_ref, ts_ref, q_ref, k_ref, v_ref, g_ref, mask_ref, dq_ref, dk_ref, dv_ref, dpos_ref, dts_ref, band_ref, dpos_acc, *, alpha, inv_n, block_q, block_k, max_seq_len, cfg, has_time, n_heads):
+    """ONE backward pass: dq + dk + dv + dpos/dts partials per (bh, k-block).
+
+    Round-5 fusion of ``_bwd_dq_kernel`` + ``_bwd_dkv_kernel``: the score tile
+    ``s`` and ``dattn = g @ v^T`` were recomputed by BOTH kernels, and the
+    time-bucket select/bucketize ran three times per causal tile (dq select,
+    dq walk recompute, dkv select).  Here the grid runs over k-blocks (like
+    the dkv kernel) and ``dq`` is a FULL-LENGTH output block whose index map
+    ignores the k axis: TPU Pallas grids execute sequentially, so the block
+    stays resident in VMEM across the inner k steps and read-modify-write
+    accumulation (`dq_ref[...] += ...`) is race-free — it is written back to
+    HBM once per (batch*head) row.  Every causal tile is now built ONCE:
+    one band build per program, one qk^T, one g v^T, one bucketize + select,
+    and the dts gradient walk reuses the same bucket map and [lo, hi] range.
+
+    dq accumulates in f32 (the output is declared f32 and cast by the host
+    wrapper) in the same k-ascending order as the split kernel, so dq/dk/dv
+    are bit-identical to the two-kernel version; dpos/dts partials sum in a
+    different (per-k-program) order — same values within f32 reassociation.
+    """
+    ki = pl.program_id(1)
+    head = pl.program_id(0) % n_heads
+    l = q_ref.shape[1]
+    k0 = ki * block_k
+    center = max_seq_len - 1
+    wband = l + block_k - block_q
+    wp2 = l + block_k
+    nb_lanes = dts_ref.shape[-1]
+    _build_band(pw_ref, band_ref, center + k0 - l + 1, block_q, wband)
+    dpos_acc[0, :] = jnp.zeros((wp2,), jnp.float32)
+
+    @pl.when(ki == 0)
+    def _init_dq():
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
+
+    k_blk = k_ref[0]  # (block_k, dqk)
+    v_blk = v_ref[0]  # (block_k, dv)
+    m_blk = mask_ref[0, 0, pl.ds(k0, block_k)]
+    dk_acc = jnp.zeros((block_k, k_blk.shape[-1]), jnp.float32)
+    dv_acc = jnp.zeros((block_k, v_blk.shape[-1]), jnp.float32)
+    dts_row = jnp.zeros((1, nb_lanes), jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, nb_lanes), 1)
+    k_pos = k0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    tk = ts_ref[0, 0, pl.ds(k0, block_k)] if has_time else None
+
+    first_q = k0 // block_q  # first query block intersecting the causal cone
+    num_q = l // block_q
+
+    def body(qi, carry):
+        dk_acc, dv_acc, dts_row = carry
+        q0 = pl.multiple_of(qi * block_q, block_q)
+        q_blk = q_ref[0, pl.ds(q0, block_q), :]
+        g_blk = g_ref[0, pl.ds(q0, block_q), :]
+
+        s = jax.lax.dot_general(q_blk, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        s = s * alpha + band_ref[:, pl.ds(pl.multiple_of(l - block_q - q0, block_q), block_k)]
+        if has_time:
+            tq = ts_ref[0, 0, pl.ds(q0, block_q)]
+            adt = jnp.abs(tq[:, None] - tk[None, :])
+            nbp1 = tw_ref.shape[1]
+            lo = _rank_in_thresholds(thr_ref, jnp.min(adt), nbp1)
+            hi = _rank_in_thresholds(thr_ref, jnp.max(adt), nbp1)
+            if "bwd_select" not in _DEBUG_DISABLE:
+                s = s + _tw_select_thr(tw_ref, thr_ref, head, adt, lo, hi)
+        q_pos = q0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        valid = (k_pos <= q_pos) & (m_blk[None, :] > 0)
+        s = jnp.where(valid, s, -1e4)
+        attn = _silu(s) * inv_n
+        dattn = jax.lax.dot_general(g_blk, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = jnp.where(valid, dattn * _dsilu(s) * inv_n, 0.0)
+
+        dv_acc = dv_acc + jax.lax.dot_general(attn.astype(g_blk.dtype), g_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dk_acc = dk_acc + jax.lax.dot_general(ds.astype(q_blk.dtype), q_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32) * alpha
+        dq_ref[0, pl.ds(q0, block_q), :] += jax.lax.dot_general(ds.astype(k_blk.dtype), k_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32) * alpha
+
+        # --- bias-table grads, reusing this tile's adt map and range ---
+        # The walk emits CUMULATIVE sums S(u) = sum(ds * (adt >= thr[u]));
+        # the host wrapper differences adjacent lanes (dts[u] = S[u] - S[u+1]).
+        # S(u) for u <= lo is the full-tile sum (every element's bucket >= lo),
+        # filled with one masked broadcast; single-bucket tiles walk an EMPTY
+        # range — one reduction instead of eight.
+        if has_time and "walk" not in _DEBUG_DISABLE:
+            total = jnp.sum(ds)
+            dts_row = dts_row + total * (lane <= lo).astype(jnp.float32)
+            last_thr = nbp1 - 1
+
+            def dts_body(c, row):
+                u0 = lo + 1 + c * _TW_CHUNK
+                for j in range(_TW_CHUNK):
+                    u = u0 + j
+                    uc = jnp.minimum(u, last_thr)
+                    s_u = jnp.sum(jnp.where(adt >= thr_ref[0, uc], ds, 0.0)) * (u <= hi).astype(jnp.float32)
+                    row = row + s_u * (lane == u).astype(jnp.float32)
+                return row
+
+            dts_row = jax.lax.fori_loop(0, (hi - lo + _TW_CHUNK - 1) // _TW_CHUNK, dts_body, dts_row)
+        # diagonal sums into the (l + block_k) lane window at offset
+        # l - q0 - block_q: element (i, c) of this tile lands at global slot
+        # center + (k0 + c) - (q0 + i) = window_base + (l - q0 - bq) + c + (bq-1-i)
+        if "dpos" not in _DEBUG_DISABLE:
+            wt = block_q + block_k
+            x = jnp.concatenate([ds, jnp.zeros((block_q, block_q), jnp.float32)], axis=1)
+            x = pltpu.roll(x, block_q - 1, 1)
+            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, wt), 0)
+            sh = 1
+            while sh < block_q:
+                x = jnp.where((row & sh) != 0, pltpu.roll(x, wt - sh, 1), x)
+                sh *= 2
+            dpos_acc[0, pl.ds(pl.multiple_of(l - q0 - block_q, block_q), wt)] += jnp.sum(x, axis=0)
+        return dk_acc, dv_acc, dts_row
+
+    dk_acc, dv_acc, dts_row = jax.lax.fori_loop(first_q, num_q, body, (dk_acc, dv_acc, dts_row))
+    dk_ref[0] = dk_acc.astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+    dts_ref[0, 0, 0, :] = dts_row[0, :]
+    dpos_ref[0, 0, 0, :] = dpos_acc[0, :]
+
+
 # ---------------------------------------------------------------------------
 # pallas_call plumbing
 # ---------------------------------------------------------------------------
 
-def _prep_tables(pos_w, ts_w):
-    """(n_pos, H) / (nb+1, H) -> kernel layouts (H, n_pos_pad8, 1) VMEM + (H, nb+1) SMEM.
+def _prep_tables(pos_w, ts_w, cfg):
+    """(n_pos, H) / (nb+1, H) -> kernel layouts (H, n_pos_pad8, 1) VMEM + (H, nb+1) SMEM
+    + the (1, nb+1) i32 bucket-threshold table (SMEM).
 
     n_pos = 2*maxL-1 is odd; Mosaic block sublanes must be 8-aligned, so the
     table pads with zero rows at the end (band windows never read past
@@ -362,7 +572,8 @@ def _prep_tables(pos_w, ts_w):
         pos_w = jnp.pad(pos_w, ((0, pad), (0, 0)))
     pw = jnp.transpose(pos_w, (1, 0))[:, :, None]  # (H, n_pos_pad, 1)
     tw = jnp.transpose(ts_w, (1, 0))  # (H, nb+1)
-    return pw, tw
+    thr = compute_bucket_thresholds(cfg)[None, :]  # (1, nb+1) i32
+    return pw, tw, thr
 
 
 def _common_specs(h, n_pos, nbp1, b, l, block_q):
@@ -370,26 +581,27 @@ def _common_specs(h, n_pos, nbp1, b, l, block_q):
     # n_pos sublane padding, full-table SMEM tw, and (B, 1, L) ts/mask layouts
     pw_spec = pl.BlockSpec((1, n_pos, 1), lambda i, j: (i % h, 0, 0))
     tw_spec = pl.BlockSpec((h, nbp1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+    thr_spec = pl.BlockSpec((1, nbp1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
     ts_spec = pl.BlockSpec((1, 1, l), lambda i, j: (i // h, 0, 0))
     mask_spec = pl.BlockSpec((1, 1, l), lambda i, j: (i // h, 0, 0))
-    return pw_spec, tw_spec, ts_spec, mask_spec
+    return pw_spec, tw_spec, thr_spec, ts_spec, mask_spec
 
 
 def _pallas_forward(q, k, v, pos_w, ts_w, timestamps, mask, alpha, max_seq_len, cfg, has_time, block_q, block_k, interpret):
     b, h, l, dqk = q.shape
     dv = v.shape[-1]
     bh = b * h
-    pw, tw = _prep_tables(pos_w, ts_w)
+    pw, tw, thr = _prep_tables(pos_w, ts_w, cfg)
     maskf = mask[:, None, :].astype(jnp.float32)
     ts = (timestamps.astype(jnp.int32) if has_time else jnp.zeros((b, l), jnp.int32))[:, None, :]
-    pw_spec, tw_spec, ts_spec, mask_spec = _common_specs(h, pw.shape[1], tw.shape[1], b, l, block_q)
+    pw_spec, tw_spec, thr_spec, ts_spec, mask_spec = _common_specs(h, pw.shape[1], tw.shape[1], b, l, block_q)
 
     kern = functools.partial(_fwd_kernel, alpha=alpha, inv_n=1.0 / max_seq_len, block_q=block_q, block_k=block_k, max_seq_len=max_seq_len, cfg=cfg, has_time=has_time, n_heads=h)
     out = pl.pallas_call(
         kern,
         grid=(bh, l // block_q),
         in_specs=[
-            pw_spec, tw_spec, ts_spec,
+            pw_spec, tw_spec, thr_spec, ts_spec,
             pl.BlockSpec((1, block_q, dqk), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, l, dqk), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, l, dv), lambda i, j: (i, 0, 0)),
@@ -399,18 +611,83 @@ def _pallas_forward(q, k, v, pos_w, ts_w, timestamps, mask, alpha, max_seq_len, 
         out_shape=jax.ShapeDtypeStruct((bh, l, dv), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, l), jnp.float32)],
         interpret=interpret,
-    )(pw, tw, ts, q.reshape(bh, l, dqk), k.reshape(bh, l, dqk), v.reshape(bh, l, dv), maskf)
+    )(pw, tw, thr, ts, q.reshape(bh, l, dqk), k.reshape(bh, l, dqk), v.reshape(bh, l, dv), maskf)
     return out.reshape(b, h, l, dv)
+
+
+def _pallas_backward_fused(q, k, v, g, pos_w, ts_w, timestamps, mask, alpha, max_seq_len, cfg, has_time, block_q, block_k, interpret):
+    """Single-pass backward: one pallas_call yields dq, dk, dv + bias partials."""
+    b, h, l, dqk = q.shape
+    dv = v.shape[-1]
+    bh = b * h
+    pw, tw, thr = _prep_tables(pos_w, ts_w, cfg)
+    maskf = mask[:, None, :].astype(jnp.float32)
+    ts = (timestamps.astype(jnp.int32) if has_time else jnp.zeros((b, l), jnp.int32))[:, None, :]
+    pw_spec, tw_spec, thr_spec, ts_spec, mask_spec = _common_specs(h, pw.shape[1], tw.shape[1], b, l, block_q)
+    qf, kf, vf, gf = (a.reshape(bh, l, -1) for a in (q, k, v, g))
+    common = dict(alpha=alpha, inv_n=1.0 / max_seq_len, block_q=block_q, block_k=block_k, max_seq_len=max_seq_len, cfg=cfg, has_time=has_time, n_heads=h)
+
+    n_k = l // block_k
+    wp2 = l + block_k
+    nbp1 = tw.shape[1]
+    nb_lanes = -(-nbp1 // 128) * 128
+    dq32, dk, dv_out, dpos_parts, dts_parts = pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, **common),
+        grid=(bh, n_k),
+        in_specs=[
+            pw_spec, tw_spec, thr_spec, ts_spec,
+            pl.BlockSpec((1, l, dqk), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, block_k, dqk), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_k, dv), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, l, dv), lambda i, j: (i, 0, 0)),
+            mask_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, l, dqk), lambda i, j: (i, 0, 0)),  # dq: revisited across j
+            pl.BlockSpec((1, block_k, dqk), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_k, dv), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, 1, wp2), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, nb_lanes), lambda i, j: (i, j, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, l, dqk), jnp.float32),
+            jax.ShapeDtypeStruct((bh, l, dqk), k.dtype),
+            jax.ShapeDtypeStruct((bh, l, dv), v.dtype),
+            jax.ShapeDtypeStruct((bh, n_k, 1, wp2), jnp.float32),
+            jax.ShapeDtypeStruct((bh, n_k, 1, nb_lanes), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, l + block_k - block_q), jnp.float32),  # band
+            pltpu.VMEM((1, wp2), jnp.float32),                          # dpos accumulator
+        ],
+        interpret=interpret,
+    )(pw, tw, thr, ts, qf, kf, vf, gf, maskf)
+
+    # assemble bias-table grads from per-k-program partials: window base for
+    # block ki is center + ki*block_k - l + 1 (matches the kernel's band base)
+    center = max_seq_len - 1
+    n_pos = pos_w.shape[0]
+    dpos_bh = dpos_parts.reshape(b, h, n_k, wp2).sum(axis=0)  # (H, n_k, wp2)
+    buf = jnp.zeros((h, n_pos + wp2), jnp.float32)
+    for ki in range(n_k):
+        start = center + ki * block_k - l + 1
+        buf = jax.lax.dynamic_update_slice(buf, jax.lax.dynamic_slice(buf, (0, start), (h, wp2)) + dpos_bh[:, ki, :], (0, start))
+    dpos = buf[:, :n_pos].T  # (n_pos, H)
+    # kernel rows are cumulative S(u) = sum(ds * (bucket >= u)); difference
+    # adjacent lanes to recover dts[u] = sum(ds * (bucket == u))
+    s_cum = dts_parts.reshape(b, h, n_k, nb_lanes).sum(axis=(0, 2))  # (H, nb_lanes)
+    dts = (s_cum - jnp.concatenate([s_cum[:, 1:], jnp.zeros((h, 1), jnp.float32)], axis=1))[:, :nbp1].T
+    return (dq32.reshape(b, h, l, dqk).astype(q.dtype), dk.reshape(b, h, l, dqk), dv_out.reshape(b, h, l, dv), dpos, dts)
 
 
 def _pallas_backward_qkv(q, k, v, g, pos_w, ts_w, timestamps, mask, alpha, max_seq_len, cfg, has_time, block_q, block_k, interpret):
     b, h, l, dqk = q.shape
     dv = v.shape[-1]
     bh = b * h
-    pw, tw = _prep_tables(pos_w, ts_w)
+    pw, tw, thr = _prep_tables(pos_w, ts_w, cfg)
     maskf = mask[:, None, :].astype(jnp.float32)
     ts = (timestamps.astype(jnp.int32) if has_time else jnp.zeros((b, l), jnp.int32))[:, None, :]
-    pw_spec, tw_spec, ts_spec, mask_spec = _common_specs(h, pw.shape[1], tw.shape[1], b, l, block_q)
+    pw_spec, tw_spec, thr_spec, ts_spec, mask_spec = _common_specs(h, pw.shape[1], tw.shape[1], b, l, block_q)
     qf, kf, vf, gf = (a.reshape(bh, l, -1) for a in (q, k, v, g))
     common = dict(alpha=alpha, inv_n=1.0 / max_seq_len, block_q=block_q, block_k=block_k, max_seq_len=max_seq_len, cfg=cfg, has_time=has_time, n_heads=h)
 
@@ -422,7 +699,7 @@ def _pallas_backward_qkv(q, k, v, g, pos_w, ts_w, timestamps, mask, alpha, max_s
         functools.partial(_bwd_dq_kernel, **common),
         grid=(bh, n_q),
         in_specs=[
-            pw_spec, tw_spec, ts_spec,
+            pw_spec, tw_spec, thr_spec, ts_spec,
             pl.BlockSpec((1, block_q, dqk), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, l, dqk), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, l, dv), lambda i, j: (i, 0, 0)),
@@ -444,7 +721,7 @@ def _pallas_backward_qkv(q, k, v, g, pos_w, ts_w, timestamps, mask, alpha, max_s
             pltpu.VMEM((1, wp), jnp.float32),                       # dpos accumulator
         ],
         interpret=interpret,
-    )(pw, tw, ts, qf, kf, vf, gf, maskf)
+    )(pw, tw, thr, ts, qf, kf, vf, gf, maskf)
 
     # assemble bias-table grads from per-program partials
     center = max_seq_len - 1
@@ -461,7 +738,7 @@ def _pallas_backward_qkv(q, k, v, g, pos_w, ts_w, timestamps, mask, alpha, max_s
         functools.partial(_bwd_dkv_kernel, **common),
         grid=(bh, l // block_k),
         in_specs=[
-            pw_spec, tw_spec, ts_spec,
+            pw_spec, tw_spec, thr_spec, ts_spec,
             pl.BlockSpec((1, l, dqk), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, block_k, dqk), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, block_k, dv), lambda i, j: (i, j, 0)),
@@ -478,7 +755,7 @@ def _pallas_backward_qkv(q, k, v, g, pos_w, ts_w, timestamps, mask, alpha, max_s
         ],
         scratch_shapes=[pltpu.VMEM((block_q, l + block_k - block_q), jnp.float32)],
         interpret=interpret,
-    )(pw, tw, ts, qf, kf, vf, gf, maskf)
+    )(pw, tw, thr, ts, qf, kf, vf, gf, maskf)
 
     return (dq.reshape(b, h, l, dqk), dk.reshape(b, h, l, dqk), dv_out.reshape(b, h, l, dv), dpos, dts)
 
@@ -601,7 +878,8 @@ def _rab_bwd(alpha, max_seq_len, cfg, block_q, block_k, residuals, g):
         return dq, dk, dv, dpos, dts, None, None
 
     mask = padding_mask
-    dq, dk, dv, dpos, dts = _pallas_backward_qkv(q, k, v, g, pos_w, ts_w, timestamps, mask, alpha, max_seq_len, cfg, has_time, block_q, block_k, _FORCE_INTERPRET[0])
+    bwd = _pallas_backward_fused if _FUSED_BWD[0] else _pallas_backward_qkv
+    dq, dk, dv, dpos, dts = bwd(q, k, v, g, pos_w, ts_w, timestamps, mask, alpha, max_seq_len, cfg, has_time, block_q, block_k, _FORCE_INTERPRET[0])
     return dq, dk, dv, dpos, dts, None, None
 
 
