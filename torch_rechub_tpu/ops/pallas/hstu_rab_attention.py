@@ -153,24 +153,24 @@ def _dense_forward(q, k, v, pos_w, ts_w, timestamps, padding_mask, alpha, max_se
 def _build_band(pw_ref, band_ref, start, rows, cols):
     """``band[i, c] = pos_w[start + (rows-1-i) + c]`` — Toeplitz rows.
 
-    ONE dynamic sublane read fetches the base window; the per-row shifts are
-    then applied by LOG-DOUBLING: broadcast the window to every row, roll all
-    rows right by ``w3-(rows-1)`` once, then for each bit ``s`` of the row
-    index roll the whole tile by ``s`` and keep the rolled copy only where
-    the row's bit is set — ``log2(rows)`` vectorized roll+select steps
-    instead of ``rows`` serial per-row rolls (the round-2 version; ~5x less
-    serial VPU work).  No wraparound reaches ``[:, :cols]`` because
-    ``c + rows-1-i < cols + rows``.
+    ONE dynamic sublane read fetches the base window; the per-row left shift
+    ``rows-1-i`` then splits as COARSE + FINE (round-5): with ``i = 8a + b``,
+    shift = ``(rows-8-8a) + (7-b)`` — the fine part depends only on the
+    position within an 8-row sublane group, so ONE ``(8, w3)`` strip with
+    rows ``base << (7-b)`` is built by 3 masked log-doubling rolls, and each
+    group is then a single whole-strip roll of it.  ~5x fewer VPU roll ops
+    than the round-2..4 whole-tile log-doubling (log2(rows) masked rolls on
+    the full ``(rows, w3)`` tile).  No wraparound reaches ``[:, :cols]``
+    because ``c + rows-1-i < cols + rows``.
     """
     w3 = cols + rows
     base = pw_ref[0, pl.ds(start, w3), 0].reshape(1, w3)
-    tile = jnp.broadcast_to(pltpu.roll(base, w3 - (rows - 1), 1), (rows, w3))
-    row = jax.lax.broadcasted_iota(jnp.int32, (rows, w3), 0)
-    s = 1
-    while s < rows:
-        tile = jnp.where((row & s) != 0, pltpu.roll(tile, s, 1), tile)
-        s *= 2
-    band_ref[:, :] = tile[:, :cols]
+    brow = jax.lax.broadcasted_iota(jnp.int32, (8, w3), 0)
+    strip = jnp.broadcast_to(pltpu.roll(base, w3 - 7, 1), (8, w3))  # left by 7
+    for sh in (1, 2, 4):  # right by b => row b is base left-shifted by 7-b
+        strip = jnp.where((brow & sh) != 0, pltpu.roll(strip, sh, 1), strip)
+    for a in range(rows // 8):
+        band_ref[8 * a:8 * a + 8, :] = pltpu.roll(strip, (w3 - (rows - 8 - 8 * a)) % w3, 1)[:, :cols]
 
 
 _TW_CHUNK = 16  # buckets per loop iteration (measured: 16 beats 8 and 4 on v5e —
@@ -536,16 +536,24 @@ def _bwd_fused_kernel(pw_ref, tw_ref, thr_ref, ts_ref, q_ref, k_ref, v_ref, g_re
         # diagonal sums into the (l + block_k) lane window at offset
         # l - q0 - block_q: element (i, c) of this tile lands at global slot
         # center + (k0 + c) - (q0 + i) = window_base + (l - q0 - bq) + c + (bq-1-i)
+        # Row i must shift right by (bq-1-i) before the column sum.  Shift =
+        # COARSE (uniform within each 8-row sublane group: bq-8-8a) + FINE
+        # (7-b, identical pattern in every group), so the groups can be
+        # coarse-rolled and SUMMED FIRST — the fine log-doubling then runs on
+        # ONE 8-row strip instead of the full tile (~8x fewer VPU roll ops
+        # than the round-4 whole-tile log-doubling; measured ~0.9 ms/step at
+        # B2xL2048).
         if "dpos" not in _DEBUG_DISABLE:
             wt = block_q + block_k
             x = jnp.concatenate([ds, jnp.zeros((block_q, block_q), jnp.float32)], axis=1)
-            x = pltpu.roll(x, block_q - 1, 1)
-            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, wt), 0)
-            sh = 1
-            while sh < block_q:
-                x = jnp.where((row & sh) != 0, pltpu.roll(x, wt - sh, 1), x)
-                sh *= 2
-            dpos_acc[0, pl.ds(pl.multiple_of(l - q0 - block_q, block_q), wt)] += jnp.sum(x, axis=0)
+            acc8 = jnp.zeros((8, wt), jnp.float32)
+            for a in range(block_q // 8):
+                acc8 = acc8 + pltpu.roll(x[8 * a:8 * a + 8, :], block_q - 8 - 8 * a, 1)
+            brow = jax.lax.broadcasted_iota(jnp.int32, (8, wt), 0)
+            acc8 = pltpu.roll(acc8, 7, 1)
+            for sh in (1, 2, 4):
+                acc8 = jnp.where((brow & sh) != 0, pltpu.roll(acc8, wt - sh, 1), acc8)
+            dpos_acc[0, pl.ds(pl.multiple_of(l - q0 - block_q, block_q), wt)] += jnp.sum(acc8, axis=0)
         return dk_acc, dv_acc, dts_row
 
     dk_acc, dv_acc, dts_row = jax.lax.fori_loop(first_q, num_q, body, (dk_acc, dv_acc, dts_row))
