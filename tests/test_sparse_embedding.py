@@ -158,3 +158,137 @@ def test_sparse_requires_fused():
             trainer._ensure_ready(dl)
     finally:
         set_fused_default(old)
+
+
+# ---------------------------------------------------------------------------
+# round 5: sparse updates beyond CTRTrainer (MatchTrainer, SeqTrainer)
+# ---------------------------------------------------------------------------
+
+def build_match(n=256, seed=0):
+    from torch_rechub_tpu.basic.features import SequenceFeature
+    from torch_rechub_tpu.models import matching
+
+    rng = np.random.default_rng(seed)
+    n_items, d = 48, 8
+    x = {
+        "user_id": rng.integers(0, 32, n).astype(np.int32),
+        "item_id": rng.integers(0, n_items, n).astype(np.int32),
+        "hist_item_id": rng.integers(0, n_items, (n, 6)).astype(np.int32),
+    }
+    y = ((x["user_id"] + x["item_id"]) % 2).astype(np.float32)
+    user = (
+        SparseFeature("user_id", vocab_size=32, embed_dim=d),
+        SequenceFeature("hist_item_id", vocab_size=n_items, embed_dim=d, pooling="mean", shared_with="item_id"),
+    )
+    item = (SparseFeature("item_id", vocab_size=n_items, embed_dim=d),)
+    model = matching.DSSM(user_features=user, item_features=item, user_params={"dims": (16, d), "dropout": 0.0}, item_params={"dims": (16, d), "dropout": 0.0})
+    return model, x, y
+
+
+def test_match_sparse_sgd_exact_vs_dense_grad():
+    """One MatchTrainer sparse-SGD step == table - lr * dense table gradient."""
+    from torch_rechub_tpu.basic.loss import bce_with_logits
+    from torch_rechub_tpu.trainers import MatchTrainer
+
+    model, x, y = build_match()
+    lr = 0.05
+    trainer = MatchTrainer(model, mode=0, n_epoch=1, model_path="/tmp/rechub_match_sparse", sparse_embedding="sgd", optimizer_params={"lr": lr})
+    dl = ArrayLoader(x, y, batch_size=len(y), shuffle=False)
+    trainer._ensure_ready(dl)
+    params0 = jax.device_get(trainer.state.params)
+    bs0 = jax.device_get(trainer.state.batch_stats)
+
+    xb = {k: jnp.asarray(v) for k, v in x.items()}
+    yb = jnp.asarray(y, jnp.float32)
+    w = jnp.ones_like(yb)
+    rng = jax.random.PRNGKey(0)  # dropout=0 -> rng-independent
+
+    def dense_loss(params):
+        out, _ = model.apply({"params": params, "batch_stats": bs0}, xb, training=True, rngs={"dropout": rng, "routing": rng}, mutable=["batch_stats"])
+        return bce_with_logits(out, yb, w)
+
+    dense_tables, _ = split_fused_tables(jax.grad(dense_loss)(params0))
+
+    trainer.train_one_epoch(dl, log_interval=0)
+    new_tables, _ = split_fused_tables(jax.device_get(trainer.state.params))
+    old_tables, _ = split_fused_tables(params0)
+    for tkey, new in new_tables.items():
+        expected = old_tables[tkey] - lr * np.asarray(dense_tables[tkey])
+        np.testing.assert_allclose(np.asarray(new), expected, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("method", ["sgd", "adagrad"])
+def test_match_sparse_inbatch_learns(method):
+    from torch_rechub_tpu.trainers import MatchTrainer
+
+    model, x, y = build_match(n=512)
+    trainer = MatchTrainer(model, mode=2, in_batch_neg=True, n_epoch=2, model_path="/tmp/rechub_match_sparse_ib", sparse_embedding=method, steps_per_call=2, optimizer_params={"lr": 1e-2})
+    yy = np.zeros(len(y), dtype=np.int64)
+    dl = ArrayLoader(x, yy, batch_size=64, shuffle=False)
+    first = trainer.train_one_epoch(dl, log_interval=0)
+    last = trainer.train_one_epoch(dl, log_interval=0)
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first, (first, last)
+
+
+def seq_model_and_loader(tie=False, n=16, vocab=50, L=16):
+    from torch_rechub_tpu.models.generative.hstu import HSTUModel
+    from torch_rechub_tpu.utils.data import SeqLoader
+
+    rng = np.random.default_rng(3)
+    lengths = rng.integers(2, L + 1, n)
+    toks = np.zeros((n, L), dtype=np.int32)
+    for i, l in enumerate(lengths):
+        toks[i, :l] = rng.integers(1, vocab, l)
+    tds = rng.integers(0, 86400, (n, L)).astype(np.int32)
+    targets = rng.integers(1, vocab, n).astype(np.int32)
+    pos = np.tile(np.arange(L), (n, 1))
+    model = HSTUModel(vocab_size=vocab, d_model=32, n_heads=2, n_layers=1, dqk=8, dv=8, max_seq_len=L, dropout=0.0, num_time_buckets=8, tie_embeddings=tie)
+    return model, SeqLoader(toks, pos, targets, tds, batch_size=n, shuffle=False), (toks, tds, targets)
+
+
+def test_seq_sparse_requires_untied():
+    from torch_rechub_tpu.trainers import SeqTrainer
+
+    model, _, _ = seq_model_and_loader(tie=True)
+    with pytest.raises(ValueError, match="tie_embeddings"):
+        SeqTrainer(model, sparse_embedding="sgd")
+
+
+def test_seq_sparse_sgd_exact_vs_dense_grad():
+    """One SeqTrainer sparse-SGD step: token_embedding == table - lr * dense grad."""
+    from torch_rechub_tpu.trainers import SeqTrainer
+
+    model, dl, (toks, tds, targets) = seq_model_and_loader(tie=False)
+    lr = 0.05
+    trainer = SeqTrainer(model, n_epoch=1, model_path="/tmp/rechub_seq_sparse", sparse_embedding="sgd", optimizer_params={"lr": lr})
+    trainer._ensure_ready(dl)
+    params0 = jax.device_get(trainer.state.params)
+    bs0 = jax.device_get(trainer.state.batch_stats)
+    from torch_rechub_tpu.trainers.seq_trainer import next_token_loss
+
+    def dense_loss(params):
+        logits = model.apply({"params": params, "batch_stats": bs0, **trainer.const_vars}, jnp.asarray(toks), jnp.asarray(tds), training=True, rngs={"dropout": jax.random.PRNGKey(0)})
+        return next_token_loss(logits, jnp.asarray(toks), jnp.asarray(targets), 1.0, 0)
+
+    dense_grads = jax.grad(dense_loss)(params0)
+    dense_tok = np.asarray(dense_grads["token_embedding"])
+
+    trainer.train_one_epoch(dl)
+    new_tok = np.asarray(jax.device_get(trainer.state.params)["token_embedding"])
+    expected = params0["token_embedding"] - lr * dense_tok
+    np.testing.assert_allclose(new_tok, expected, rtol=1e-5, atol=1e-6)
+    # PAD row stays exactly zero
+    np.testing.assert_allclose(new_tok[0], 0.0)
+
+
+@pytest.mark.parametrize("method", ["sgd", "adagrad"])
+def test_seq_sparse_learns_chunked(method):
+    """Sparse input table + chunked CE (the large-vocab production combo)."""
+    from torch_rechub_tpu.trainers import SeqTrainer
+
+    model, dl, _ = seq_model_and_loader(tie=False, n=32)
+    trainer = SeqTrainer(model, n_epoch=1, model_path="/tmp/rechub_seq_sparse_fit", sparse_embedding=method, vocab_chunk_size=16, steps_per_call=2, optimizer_params={"lr": 1e-2})
+    losses = [trainer.train_one_epoch(dl) for _ in range(3)]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses

@@ -55,6 +55,14 @@ class HSTUModel(nn.Module):
         pos_table = self.param("position_embedding", xavier, (self.max_seq_len, self.d_model))
 
         token_emb = jnp.take(token_table, x, axis=0)
+        # Sparse-gradient hooks on the INPUT-side gather (trainers/sparse.py):
+        # only meaningful when the table is untied — a tied output projection
+        # feeds the table a dense gradient through the CE logits matmul, so
+        # SeqTrainer(sparse_embedding=...) requires tie_embeddings=False.
+        if not self.tie_embeddings:
+            if self.is_mutable_collection("perturbations") or self.has_variable("perturbations", "demb_named_token_embedding"):
+                token_emb = self.perturb("demb_named_token_embedding", token_emb)
+            self.sow("embedding_ids", "ids_named_token_embedding", x)
         if self.scale_input_embedding:
             token_emb = token_emb * (self.d_model**0.5)
         emb = token_emb + pos_table[None, :l, :]

@@ -35,14 +35,17 @@ def is_fused_table_key(name) -> bool:
     return isinstance(name, str) and name.startswith(TABLE_PREFIX) and name.endswith(TABLE_SUFFIX)
 
 
-def split_fused_tables(params) -> Tuple[Dict, Dict]:
-    """Partition a params pytree into (fused-table leaves, everything else).
+def split_fused_tables(params, extra_names: Tuple[str, ...] = ()) -> Tuple[Dict, Dict]:
+    """Partition a params pytree into (sparse-table leaves, everything else).
 
+    Sparse tables are the fused ``fused_d{D}_table`` params plus any leaf
+    whose name is listed in ``extra_names`` (models with a NAMED standalone
+    table carrying perturb/sow hooks, e.g. HSTU's untied ``token_embedding``).
     Both returned values are flat ``{path tuple: leaf}`` dicts
     (``flax.traverse_util`` convention).
     """
     flat = traverse_util.flatten_dict(params)
-    tables = {k: v for k, v in flat.items() if is_fused_table_key(k[-1])}
+    tables = {k: v for k, v in flat.items() if is_fused_table_key(k[-1]) or k[-1] in extra_names}
     rest = {k: v for k, v in flat.items() if k not in tables}
     return tables, rest
 
@@ -103,7 +106,12 @@ def pair_sparse_grads(pert_grads, ids_tree):
     """Match perturbation grads to their sown ids and owning table key.
 
     Yields ``(table_key, flat_ids (N,), flat_grads (N, D))`` with everything
-    flattened over batch/position axes.
+    flattened over batch/position axes.  Two tag forms:
+
+    - ``demb_d{D}_{crc}`` — fused dim-group gather (EmbeddingCollection);
+      the table is the scope's ``fused_d{D}_table``.
+    - ``demb_named_{param}`` — a named standalone table (e.g. HSTU's untied
+      ``token_embedding``); the table is the scope's ``{param}`` leaf.
     """
     pg = traverse_util.flatten_dict(pert_grads)
     ids_flat = traverse_util.flatten_dict(ids_tree)
@@ -112,9 +120,12 @@ def pair_sparse_grads(pert_grads, ids_tree):
         if not name.startswith("demb_"):
             continue
         tag = name[len("demb_"):]
-        dim = int(tag.split("_")[0][1:])
         scope = path[:-1]
         ids_leaf = ids_flat[scope + (f"ids_{tag}",)]
         ids = ids_leaf[0] if isinstance(ids_leaf, tuple) else ids_leaf
-        table_key = scope + (f"{TABLE_PREFIX}{dim}{TABLE_SUFFIX}",)
-        yield table_key, ids.reshape(-1), demb.reshape(-1, dim)
+        if tag.startswith("named_"):
+            table_key = scope + (tag[len("named_"):],)
+        else:
+            dim = int(tag.split("_")[0][1:])
+            table_key = scope + (f"{TABLE_PREFIX}{dim}{TABLE_SUFFIX}",)
+        yield table_key, ids.reshape(-1), demb.reshape(-1, demb.shape[-1])

@@ -54,9 +54,9 @@ class CTRTrainer(JaxTrainer):
         # semantics) | "sgd" | "adagrad" — update ONLY the embedding rows a
         # batch touched; required for production vocab sizes where a dense
         # optimizer pass over the tables dominates (see ops/sparse_update.py).
-        if sparse_embedding not in (None, "sgd", "adagrad"):
-            raise ValueError(f"sparse_embedding must be None|'sgd'|'adagrad', got {sparse_embedding!r}")
-        self.sparse_embedding = sparse_embedding
+        from .sparse import validate_method
+
+        self.sparse_embedding = validate_method(sparse_embedding)
         self._train_step = None
         self._train_steps_scan = None
         self._predict_step = None
@@ -118,14 +118,14 @@ class CTRTrainer(JaxTrainer):
         touched row ids from the sown ``embedding_ids`` collection (see
         ``ops/embedding.py``); tables are excluded from jax.grad so no dense
         ``(V, D)`` cotangent ever materializes.  Dense params keep the normal
-        optax path; tables get SGD / row-wise-Adagrad scatter updates.
-        Regularization applies to dense params only (use the update's
-        ``weight_decay`` for tables).
+        optax path; tables get SGD / row-wise-Adagrad scatter updates
+        (shared machinery: ``trainers/sparse.py``).  Regularization applies
+        to dense params only (use the update's ``weight_decay`` for tables).
         """
         from ..ops import sparse_update as su
+        from . import sparse as sp
 
         model, loss_mode, reg = self.model, self.loss_mode, self.reg_loss_fn
-        method = self.sparse_embedding
 
         # perturbation shape template (fixed: batches are padded to loader size)
         x0 = {k: jax.ShapeDtypeStruct(v.shape, v.dtype) for k, v in self._x0_dev.items()}
@@ -133,8 +133,7 @@ class CTRTrainer(JaxTrainer):
             with self.pscope():
                 return model.apply({"params": p, "batch_stats": b}, x, training=False, mutable=["perturbations"])[1]
 
-        var_shapes = jax.eval_shape(_pert_shapes, self.state.params, self.state.batch_stats, x0)
-        pert_template = var_shapes.get("perturbations", {})
+        pert_template = sp.pert_template_from(_pert_shapes, self.state.params, self.state.batch_stats, x0)
 
         def sparse_loss_fn(rest_flat, perts, tables_flat, batch_stats, x, y, w, rng):
             params = su.merge_params(tables_flat, rest_flat)
@@ -149,30 +148,11 @@ class CTRTrainer(JaxTrainer):
                 loss = loss + reg(su.merge_params({}, rest_flat))
             return loss, (mutated.get("batch_stats", batch_stats), mutated.get("embedding_ids", {}))
 
-        def one_sparse_step(state: TrainState, x, y, w, lr, rng):
-            tables_flat, rest_flat = su.split_fused_tables(state.params)
-            opt_state, accums = state.opt_state
-            perts = jax.tree_util.tree_map(lambda sd: jnp.zeros(sd.shape, sd.dtype), pert_template)
-            ((loss, (new_bs, ids_tree)), (g_rest, g_pert)) = jax.value_and_grad(sparse_loss_fn, argnums=(0, 1), has_aux=True)(rest_flat, perts, tables_flat, state.batch_stats, x, y, w, rng)
-            updates, opt_state = self.tx.update(g_rest, opt_state, rest_flat)
-            rest_flat = apply_updates(rest_flat, updates, lr)
-            # group sparse grads by table (a table can feed several call sites)
-            by_table = {}
-            for tkey, fids, fgrads in su.pair_sparse_grads(g_pert, ids_tree):
-                by_table.setdefault(tkey, []).append((fids, fgrads))
-            for tkey, parts in by_table.items():
-                fids = jnp.concatenate([p[0] for p in parts])
-                fgrads = jnp.concatenate([p[1] for p in parts])
-                if method == "sgd":
-                    tables_flat[tkey] = su.sparse_sgd_update(tables_flat[tkey], fids, fgrads, lr)
-                else:
-                    tables_flat[tkey], accums[tkey] = su.rowwise_adagrad_update(tables_flat[tkey], accums[tkey], fids, fgrads, lr)
-            params = su.merge_params(tables_flat, rest_flat)
-            return TrainState(params=params, batch_stats=new_bs, opt_state=(opt_state, accums), step=state.step + 1), loss
+        one_sparse_step = sp.make_sparse_step(self, sparse_loss_fn, pert_template, self.sparse_embedding)
 
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state, x, y, w, lr, rng):
-            return one_sparse_step(state, x, y, w, lr, rng)
+            return one_sparse_step(state, (x, y, w, rng), lr)
 
         @partial(jax.jit, donate_argnums=(0,))
         def train_steps_scan(state, xs, ys, ws, lr, rng):
@@ -181,7 +161,7 @@ class CTRTrainer(JaxTrainer):
 
             def body(state, batch):
                 x, y, w, r = batch
-                return one_sparse_step(state, x, y, w, lr, r)
+                return one_sparse_step(state, (x, y, w, r), lr)
 
             return jax.lax.scan(body, state, (xs, ys, ws, rngs))
 
@@ -196,14 +176,9 @@ class CTRTrainer(JaxTrainer):
             self._x0_dev = {k: np.asarray(v) for k, v in x0p.items()}
             self.init_state(x0p)
             if self.sparse_embedding:
-                from ..ops import sparse_update as su
+                from .sparse import init_sparse_opt_state
 
-                tables_flat, rest_flat = su.split_fused_tables(self.state.params)
-                if not tables_flat:
-                    raise ValueError("sparse_embedding requires fused embedding tables; the default 'auto' layout only fuses tables with >=262144 rows — call ops.embedding.set_fused_default(True) before building the model to fuse everything")
-                # optax state over dense params only + row-wise accumulators
-                opt_state = (self.tx.init(rest_flat), su.init_accumulators(tables_flat))
-                self.state = self.state.replace(opt_state=opt_state)
+                init_sparse_opt_state(self)
         if self._train_step is None:
             self._build_steps()
 

@@ -43,12 +43,18 @@ from .base import JaxTrainer, TrainState, apply_updates, load_checkpoint, to_num
 class MatchTrainer(JaxTrainer):
     """General matching/retrieval trainer (modes 0/1/2 + in-batch negatives)."""
 
-    def __init__(self, model, mode=0, in_batch_neg=False, in_batch_neg_ratio=None, hard_negative=False, neg_pool="global", sampler_seed=None, optimizer_params=None, regularization_params=None, scheduler_params=None, n_epoch=10, earlystop_patience=10, model_path="./", model_logger=None, mesh=None, seed=0, steps_per_call=1, precision=None):
+    def __init__(self, model, mode=0, in_batch_neg=False, in_batch_neg_ratio=None, hard_negative=False, neg_pool="global", sampler_seed=None, optimizer_params=None, regularization_params=None, scheduler_params=None, n_epoch=10, earlystop_patience=10, model_path="./", model_logger=None, mesh=None, seed=0, steps_per_call=1, sparse_embedding=None, precision=None):
         super().__init__(model, optimizer_params, scheduler_params, n_epoch, earlystop_patience, model_path, mesh, seed, model_logger, precision=precision)
         if mode not in (0, 1, 2):
             raise ValueError(f"mode only contain value in [0, 1, 2], but got {mode}")
         if neg_pool not in ("global", "local"):
             raise ValueError(f"neg_pool must be 'global' or 'local', got {neg_pool!r}")
+        # sparse_embedding: None | "sgd" | "adagrad" — row-wise updates of the
+        # fused feature tables (user/item towers have genuinely sparse grads;
+        # see trainers/sparse.py).  Dense params keep the optax path.
+        from .sparse import validate_method
+
+        self.sparse_embedding = validate_method(sparse_embedding)
         self.mode = mode
         self.in_batch_neg = in_batch_neg
         self.in_batch_neg_ratio = in_batch_neg_ratio
@@ -79,9 +85,11 @@ class MatchTrainer(JaxTrainer):
             with self.pscope():
                 return model.apply(variables, x, training=True, rngs={"dropout": rng, "routing": rng}, mutable=["batch_stats"], method=method, **kwargs)
 
-        def loss_fn(params, batch_stats, x, y, w, rng, sample_rng):
+        def mode_loss(apply_fn, x, y, w, rng, sample_rng):
+            """Shared mode-0/1/2 + in-batch loss dispatch; ``apply_fn(x, rng,
+            method=...)`` returns ``(outputs, mutated_vars)``."""
             if in_batch:
-                (user_emb, item_emb), mutated = apply_model(params, batch_stats, x, rng, method="towers")
+                (user_emb, item_emb), mutated = apply_fn(x, rng, method="towers")
                 user_emb = user_emb.reshape(user_emb.shape[0], -1) if user_emb.ndim == 3 and user_emb.shape[1] == 1 else user_emb
                 item_emb = item_emb.reshape(item_emb.shape[0], -1) if item_emb.ndim == 3 and item_emb.shape[1] == 1 else item_emb
                 if local_pool:
@@ -96,17 +104,26 @@ class MatchTrainer(JaxTrainer):
                     else:
                         loss = softmax_cross_entropy(logits, jnp.zeros(logits.shape[0], jnp.int32), weight=w)
             elif mode == 1:
-                (pos_score, neg_score), mutated = apply_model(params, batch_stats, x, rng)
+                (pos_score, neg_score), mutated = apply_fn(x, rng)
                 loss = bpr_loss(pos_score, neg_score, weight=w)
             elif mode == 2:
-                scores, mutated = apply_model(params, batch_stats, x, rng)
+                scores, mutated = apply_fn(x, rng)
                 loss = softmax_cross_entropy(scores, y.astype(jnp.int32), weight=w)
             else:
-                y_pred, mutated = apply_model(params, batch_stats, x, rng)
+                y_pred, mutated = apply_fn(x, rng)
                 loss = bce_with_logits(y_pred, y.astype(jnp.float32), weight=w)
+            return loss, mutated
+
+        def loss_fn(params, batch_stats, x, y, w, rng, sample_rng):
+            def apply_fn(x, rng, method=None):
+                return apply_model(params, batch_stats, x, rng, method=method)
+
+            loss, mutated = mode_loss(apply_fn, x, y, w, rng, sample_rng)
             if reg:
                 loss = loss + reg(params)
             return loss, mutated.get("batch_stats", batch_stats)
+
+        self._mode_loss = mode_loss
 
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, x, y, w, lr, rng, sample_rng):
@@ -138,6 +155,8 @@ class MatchTrainer(JaxTrainer):
             return jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), out)
 
         self._train_step, self._train_steps_scan, self._predict_step = train_step, train_steps_scan, predict_step
+        if self.sparse_embedding:
+            self._build_sparse_steps()
 
         for tower in ("user", "item"):
 
@@ -149,11 +168,76 @@ class MatchTrainer(JaxTrainer):
 
             self._tower_steps[tower] = tower_step
 
+    def _build_sparse_steps(self):
+        """Row-wise sparse table updates (see ``trainers/sparse.py``).
+
+        Matching feature tables have genuinely sparse gradients (each batch
+        touches B user rows + B item rows of potentially multi-million-row
+        vocabs; reference two-tower semantics
+        ``torch_rechub/models/matching/dssm.py:38-72``), so the full dense
+        Adam pass the reference runs over them is pure overhead at production
+        sizes.  The perturbation template is built through the SAME apply
+        path training uses (``towers`` for in-batch, full forward otherwise).
+        """
+        from ..ops import sparse_update as su
+        from . import sparse as sp
+
+        model, reg = self.model, self.reg_loss_fn
+        in_batch = self.in_batch_neg
+        mode_loss = self._mode_loss
+
+        x0 = {k: jax.ShapeDtypeStruct(v.shape, v.dtype) for k, v in self._x0_dev.items()}
+
+        def _pert_shapes(p, b, x):
+            with self.pscope():
+                return model.apply({"params": p, "batch_stats": b}, x, training=False, mutable=["perturbations"], method="towers" if in_batch else None)[1]
+
+        pert_template = sp.pert_template_from(_pert_shapes, self.state.params, self.state.batch_stats, x0)
+
+        def sparse_loss_fn(rest_flat, perts, tables_flat, batch_stats, x, y, w, rng, sample_rng):
+            params = su.merge_params(tables_flat, rest_flat)
+
+            def apply_fn(x, rng, method=None):
+                variables = {"params": params, "batch_stats": batch_stats, "perturbations": perts}
+                with self.pscope():
+                    return model.apply(variables, x, training=True, rngs={"dropout": rng, "routing": rng}, mutable=["batch_stats", "embedding_ids"], method=method)
+
+            loss, mutated = mode_loss(apply_fn, x, y, w, rng, sample_rng)
+            if reg:
+                loss = loss + reg(su.merge_params({}, rest_flat))
+            return loss, (mutated.get("batch_stats", batch_stats), mutated.get("embedding_ids", {}))
+
+        one_sparse_step = sp.make_sparse_step(self, sparse_loss_fn, pert_template, self.sparse_embedding)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_step(state, x, y, w, lr, rng, sample_rng):
+            return one_sparse_step(state, (x, y, w, rng, sample_rng), lr)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_steps_scan(state, xs, ys, ws, lr, rng, sample_rng):
+            n = ys.shape[0]
+            rngs = jax.random.split(rng, n)
+            sample_rngs = jax.vmap(lambda i: jax.random.fold_in(sample_rng, i))(jnp.arange(n))
+
+            def body(state, batch):
+                x, y, w, r, sr = batch
+                return one_sparse_step(state, (x, y, w, r, sr), lr)
+
+            return jax.lax.scan(body, state, (xs, ys, ws, rngs, sample_rngs))
+
+        self._train_step, self._train_steps_scan = train_step, train_steps_scan
+
     def _ensure_ready(self, loader):
         if self.state is None:
             batch = loader.first_batch()
             x0 = batch[0] if isinstance(batch, tuple) else batch
-            self.init_state(x0)
+            x0p, _, _ = pad_batch(x0, None, loader.batch_size)
+            self._x0_dev = {k: np.asarray(v) for k, v in x0p.items()}
+            self.init_state(x0p)
+            if self.sparse_embedding:
+                from .sparse import init_sparse_opt_state
+
+                init_sparse_opt_state(self)
         if self._train_step is None:
             self._build_steps()
 

@@ -36,8 +36,24 @@ def next_token_loss(logits, seq_tokens, targets, temperature: float = 1.0, ignor
 
 
 class SeqTrainer(JaxTrainer):
-    def __init__(self, model, optimizer_params=None, scheduler_params=None, n_epoch=10, earlystop_patience=10, model_path="./", loss_type="cross_entropy", loss_params=None, model_logger=None, mesh=None, seed=0, vocab_chunk_size=None, steps_per_call=1, precision=None):
+    def __init__(self, model, optimizer_params=None, scheduler_params=None, n_epoch=10, earlystop_patience=10, model_path="./", loss_type="cross_entropy", loss_params=None, model_logger=None, mesh=None, seed=0, vocab_chunk_size=None, steps_per_call=1, sparse_embedding=None, precision=None):
         super().__init__(model, optimizer_params, scheduler_params, n_epoch, earlystop_patience, model_path, mesh, seed, model_logger, precision=precision)
+        # sparse_embedding: None | "sgd" | "adagrad" — row-wise updates of the
+        # INPUT token table.  Requires an untied model (tie_embeddings=False):
+        # a tied table receives a DENSE gradient through the (B*L, d) @ (d, V)
+        # CE logits matmul (every vocab row, every step), so there is nothing
+        # sparse to exploit and excluding it from jax.grad would drop the
+        # output-side gradient (see trainers/sparse.py docstring).
+        from .sparse import validate_method
+
+        self.sparse_embedding = validate_method(sparse_embedding)
+        if self.sparse_embedding and getattr(model, "tie_embeddings", False):
+            raise ValueError(
+                "SeqTrainer(sparse_embedding=...) requires an untied output projection "
+                "(tie_embeddings=False): with tied embeddings the token table gets a dense "
+                "gradient through the CE logits matmul, so sparse row-wise updates would "
+                "silently drop it. Untie the model (or use the dense path for tied models)."
+            )
         self.loss_type = loss_type
         if loss_type == "nce":
             self.loss_params = loss_params or {"temperature": 0.1, "ignore_index": 0}
@@ -117,6 +133,72 @@ class SeqTrainer(JaxTrainer):
             return loss, preds
 
         self._train_step, self._train_steps_scan, self._eval_step = train_step, train_steps_scan, eval_step
+        if self.sparse_embedding:
+            self._build_sparse_steps()
+
+    def _build_sparse_steps(self):
+        """Row-wise sparse updates of the input token table (untied models).
+
+        The output projection (and its dense CE gradient) stays on the optax
+        path; only the input-side gather gradient — genuinely sparse, B*L
+        touched rows of a V-row table — is applied as a scatter update.  The
+        Adagrad dedup fill row is the PAD row 0, whose embedding is masked
+        out of the forward so its update is provably zero.
+        """
+        from ..ops import sparse_update as su
+        from . import sparse as sp
+
+        model = self.model
+        temperature = float(self.loss_params.get("temperature", 1.0)) if self.loss_type == "nce" else 1.0
+        ignore_index = int(self.loss_params.get("ignore_index", 0))
+        chunk = self.vocab_chunk_size
+        chunked_t = temperature * float(getattr(model, "temperature", 1.0))
+        consts = self.const_vars
+
+        def pert_template(state, batch):
+            # trace-time template matching THIS batch's (B, L) — tail batches
+            # recompile with correct perturbation shapes
+            seq_tokens, time_diffs = batch[0], batch[1]
+
+            def _pert_shapes(p, b, toks, tds):
+                with self.pscope():
+                    return model.apply({"params": p, "batch_stats": b, **consts}, toks, tds, training=False, mutable=["perturbations"])[1]
+
+            return sp.pert_template_from(
+                _pert_shapes, state.params, state.batch_stats,
+                jax.ShapeDtypeStruct(seq_tokens.shape, jnp.int32),
+                jax.ShapeDtypeStruct(time_diffs.shape, jnp.int32),
+            )
+
+        def sparse_loss_fn(rest_flat, perts, tables_flat, batch_stats, seq_tokens, time_diffs, targets, rng):
+            params = su.merge_params(tables_flat, rest_flat)
+            variables = {"params": params, "batch_stats": batch_stats, "perturbations": perts, **consts}
+            with self.pscope():
+                if chunk is not None:
+                    out, mutated = model.apply(variables, seq_tokens, time_diffs, training=True, return_hidden=True, rngs={"dropout": rng}, mutable=["batch_stats", "embedding_ids"])
+                    loss = chunked_next_token_loss(out["hidden"], out["weight"], seq_tokens, targets, out["bias"], chunked_t, ignore_index, chunk)
+                else:
+                    logits, mutated = model.apply(variables, seq_tokens, time_diffs, training=True, rngs={"dropout": rng}, mutable=["batch_stats", "embedding_ids"])
+                    loss = next_token_loss(logits, seq_tokens, targets, temperature, ignore_index)
+            return loss, (mutated.get("batch_stats", batch_stats), mutated.get("embedding_ids", {}))
+
+        one_sparse_step = sp.make_sparse_step(self, sparse_loss_fn, pert_template, self.sparse_embedding, extra_names=("token_embedding",), spare_rows={"token_embedding": 0})
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_step(state, seq_tokens, time_diffs, targets, lr, rng):
+            return one_sparse_step(state, (seq_tokens, time_diffs, targets, rng), lr)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_steps_scan(state, toks, tds, tgts, lr, rng):
+            rngs = jax.random.split(rng, tgts.shape[0])
+
+            def body(state, batch):
+                seq_tokens, time_diffs, targets, r = batch
+                return one_sparse_step(state, (seq_tokens, time_diffs, targets, r), lr)
+
+            return jax.lax.scan(body, state, (toks, tds, tgts, rngs))
+
+        self._train_step, self._train_steps_scan = train_step, train_steps_scan
 
     def init_state_from_batch(self, batch):
         seq_tokens, _pos, time_diffs, _targets = batch
@@ -129,7 +211,9 @@ class SeqTrainer(JaxTrainer):
         variables = init_fn({"params": init_rng, "dropout": init_rng}, jnp.asarray(seq_tokens), jnp.asarray(time_diffs))
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
-        self.const_vars = {k: v for k, v in variables.items() if k not in ("params", "batch_stats")}
+        # perturbations/embedding_ids are per-batch transients created by the
+        # sparse-gradient hooks during init — never constants to re-feed
+        self.const_vars = {k: v for k, v in variables.items() if k not in ("params", "batch_stats", "perturbations", "embedding_ids", "intermediates")}
         if self.mesh is not None:
             # SPMD placement: the token/output vocab table row-shards over the
             # model axis (when >= mesh.SHARD_MIN_ROWS), so the chunked-CE
@@ -148,6 +232,10 @@ class SeqTrainer(JaxTrainer):
     def _ensure_ready(self, loader):
         if self.state is None:
             self.init_state_from_batch(next(iter(loader)))
+            if self.sparse_embedding:
+                from .sparse import init_sparse_opt_state
+
+                init_sparse_opt_state(self, extra_names=("token_embedding",))
         if self._train_step is None:
             self._build_steps()
 
