@@ -78,3 +78,18 @@ def test_resume_continues_exactly(tmp_path):
     final_resumed = jax.device_get(t3.state.params)
     for a, b in zip(jax.tree_util.tree_leaves(final_straight), jax.tree_util.tree_leaves(final_resumed)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_load_checkpoint_row_padding_diagnostic(tmp_path):
+    """A checkpoint saved before table row-padding raises a targeted error."""
+    import flax.serialization
+    import pytest
+
+    from torch_rechub_tpu.trainers.base import load_checkpoint
+
+    old = {"params": {"emb": {"user_table": np.zeros((150000, 8), np.float32)}}}
+    target = tmp_path / "model.msgpack"
+    target.write_bytes(flax.serialization.to_bytes(old))
+    template = {"params": {"emb": {"user_table": np.zeros((150016, 8), np.float32)}}}
+    with pytest.raises(ValueError, match="ROW counts"):
+        load_checkpoint(str(tmp_path), template)

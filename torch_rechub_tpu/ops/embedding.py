@@ -46,9 +46,11 @@ from ..basic.precision import compute_dtype
 _FUSED_DEFAULT = ["auto"]
 
 # Fused tables pad ΣV up to the NEXT multiple of this (always >= 1 spare row)
-# so they row-shard over any model axis up to 64; the spare tail also serves
-# as the scratch row for sparse-update dedup fills.  Padded rows are never
-# addressed by real ids and receive no gradient.
+# so they row-shard over any model axis that divides 64 (powers of two up to
+# 64; a non-power-of-two axis like 3 or 6 need not divide a 64-multiple and
+# falls back to replicate with a warning); the spare tail also serves as the
+# scratch row for sparse-update dedup fills.  Padded rows are never addressed
+# by real ids and receive no gradient.
 _FUSED_ROW_MULTIPLE = 64
 
 # "auto" layout: tables at least this many rows join the fused param (they
@@ -58,7 +60,8 @@ _FUSED_AUTO_MIN_ROWS = 262144
 
 # Per-feature tables at least this many rows pad to a multiple of 64 so the
 # placement policy (parallel.mesh.plan_table_placement) can row-shard them
-# over any model axis up to 64.  Keep in sync with mesh.SHARD_MIN_ROWS.
+# over any model axis that divides 64 (powers of two up to 64).  Keep in sync
+# with mesh.SHARD_MIN_ROWS.
 _PER_FEATURE_PAD_MIN_ROWS = 65536
 
 

@@ -76,7 +76,9 @@ def replicated_sharding(mesh: Optional[Mesh]):
 # n_model > 1: at >=64k rows random-gather latency dominates either way
 # (docs/EMBEDDING.md), so splitting HBM across chips is free capacity.
 # EmbeddingCollection pads tables >= this size to a multiple of 64 rows, so
-# divisibility holds for any model axis up to 64.
+# divisibility holds for any model axis that divides 64 (powers of two up to
+# 64); a non-power-of-two axis (3, 6, ...) need not divide a 64-multiple and
+# such tables fall back to replicate with a warning naming them.
 SHARD_MIN_ROWS = 65536
 
 # Replicated-table HBM budget per chip.  When the tables chosen to replicate

@@ -102,13 +102,58 @@ def _tree_keys(tree, prefix=""):
     return {prefix}
 
 
+def _check_table_rows(restored, template, target):
+    """Raise a targeted error when restored table ROW counts differ from the
+    model's (flax.from_bytes restores silently even on shape mismatch).
+
+    The common cause: a checkpoint saved before round 4's row padding —
+    tables >= 65536 rows now pad to a 64-row multiple so they can row-shard.
+    """
+    r_tables, t_tables = _table_shapes(restored), _table_shapes(template)
+    mismatched = {
+        k: (r_tables[k], t_tables[k])
+        for k in r_tables.keys() & t_tables.keys()
+        if r_tables[k] != t_tables[k] and r_tables[k][1:] == t_tables[k][1:]
+    }
+    if mismatched:
+        detail = ", ".join(f"{k}: checkpoint {c} vs model {t}" for k, (c, t) in sorted(mismatched.items()))
+        err = ValueError(
+            f"checkpoint {target!r} has embedding tables whose ROW counts differ from the "
+            f"model's ({detail}). Tables >= 65536 rows are padded to a 64-row multiple so they "
+            f"can row-shard (padded rows are zero and receive no gradient) — a checkpoint saved "
+            f"before that padding cannot load directly. Either rebuild the model at the "
+            f"checkpoint's shapes, or pad/slice the restored table rows to the new shape "
+            f"(np.pad with zero rows / [:rows] slice) and re-serialize."
+        )
+        err._rechub_diagnosed = True
+        raise err
+
+
+def _table_shapes(tree, prefix=""):
+    """{path: shape} for every *_table / *_embedding leaf with a shape."""
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_table_shapes(v, f"{prefix}/{k}"))
+        return out
+    name = prefix.rsplit("/", 1)[-1]
+    shape = getattr(tree, "shape", None)
+    if shape is not None and (name.endswith("_table") or name.endswith("_embedding")):
+        out[prefix] = tuple(shape)
+    return out
+
+
 def load_checkpoint(path: str, template: Dict, name: str = "model.msgpack") -> Dict:
     target = path if os.path.isfile(path) else os.path.join(path, name)
     with open(target, "rb") as f:
         data = f.read()
     try:
-        return flax.serialization.from_bytes(template, data)
+        restored = flax.serialization.from_bytes(template, data)
+        _check_table_rows(restored, template, target)
+        return restored
     except (ValueError, KeyError) as e:
+        if getattr(e, "_rechub_diagnosed", False):
+            raise
         # Diagnose the most common structural break: a checkpoint written
         # under a different embedding-table layout ("fused" vs per-feature —
         # the default changed to "auto" in round 3; see docs/EMBEDDING.md).
@@ -117,6 +162,7 @@ def load_checkpoint(path: str, template: Dict, name: str = "model.msgpack") -> D
         except Exception:
             raise e
         ckpt_keys, tmpl_keys = _tree_keys(raw), _tree_keys(template)
+        _check_table_rows(raw, template, target)  # row-padding migration case
         ckpt_fused = any("fused_d" in k and k.endswith("_table") for k in ckpt_keys)
         tmpl_fused = any("fused_d" in k and k.endswith("_table") for k in tmpl_keys)
         if ckpt_fused != tmpl_fused:
