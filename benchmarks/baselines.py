@@ -30,6 +30,37 @@ def load_baselines(path: str) -> Dict:
         return yaml.safe_load(f) or {}
 
 
+def record_baseline(path: str, name: str, result_metrics: Dict[str, float], default_tolerance: float = 0.15) -> Dict:
+    """Rewrite ``name``'s expected values from a fresh run (``runner --record``).
+
+    Keeps each metric's existing tolerance (so deliberate slack choices
+    survive), tracks the same metric SET the entry already tracks (all
+    metrics for a new entry), and rewrites the whole file coherently —
+    the round-4 failure mode was a single metric of a shifted triple being
+    re-recorded by hand.
+    """
+    baselines = load_baselines(path) if os.path.exists(path) else {}
+    entry = baselines.get(name) or {}
+    tracked = list(entry.keys()) or list(result_metrics.keys())
+    new_entry = {}
+    for metric in tracked:
+        if metric not in result_metrics:
+            continue
+        tol = float(entry.get(metric, {}).get("tolerance", default_tolerance))
+        new_entry[metric] = {"expected": round(float(result_metrics[metric]), 4), "tolerance": tol}
+    baselines[name] = new_entry
+    header = (
+        "# Pipeline regression sentinels on the committed tiny samples / synthetic\n"
+        "# generators — NOT statements about model quality.  Refresh any entry with\n"
+        "#   python benchmarks/runner.py --config <cfg> --record\n"
+        "# after an intentional change or environment shift (one command, one diff).\n"
+    )
+    with open(path, "w") as f:
+        f.write(header)
+        yaml.safe_dump(baselines, f, sort_keys=True)
+    return new_entry
+
+
 def compare_to_baseline(result_metrics: Dict[str, float], baseline_entry: Dict) -> List[BaselineDiff]:
     """``baseline_entry`` maps metric -> {expected, tolerance}.
 

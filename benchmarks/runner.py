@@ -22,7 +22,7 @@ import yaml
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from benchmarks.baselines import compare_to_baseline, load_baselines
+from benchmarks.baselines import compare_to_baseline, load_baselines, record_baseline
 from benchmarks.datasets import build_census_multitask_dataset, build_criteo_ranking_dataset, build_ml1m_matching_dataset
 from benchmarks.metrics import evaluate_binary_ranking, evaluate_retrieval, multitask_scores
 from benchmarks.models import build_matching_model, build_multitask_model, build_ranking_model, count_parameters
@@ -149,6 +149,7 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
     parser.add_argument("--check-baseline", action="store_true")
+    parser.add_argument("--record", action="store_true", help="rewrite this config's baseline expected values from this run (keeps tolerances)")
     parser.add_argument("--baseline-file", default=None)
     parser.add_argument("--profile", default=None, metavar="DIR", help="capture a jax.profiler trace of the run into DIR (view in TensorBoard)")
     args = parser.parse_args(argv)
@@ -169,8 +170,11 @@ def main(argv=None) -> int:
         result = run_benchmark(config)
 
     diffs = None
+    baseline_file = args.baseline_file or os.path.join(os.path.dirname(args.config), "..", "..", "baselines", f"{config['task']}.yaml")
+    if args.record:
+        entry = record_baseline(baseline_file, config.get("name", ""), result["metrics"])
+        print(f"recorded baseline for {config.get('name', '')} in {os.path.normpath(baseline_file)}: {entry}")
     if args.check_baseline:
-        baseline_file = args.baseline_file or os.path.join(os.path.dirname(args.config), "..", "..", "baselines", f"{config['task']}.yaml")
         baselines = load_baselines(baseline_file)
         entry = baselines.get(config.get("name", ""), {})
         diffs = compare_to_baseline(result["metrics"], entry)

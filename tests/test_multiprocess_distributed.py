@@ -72,3 +72,87 @@ def test_two_process_global_batch(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
         assert f"proc {i} OK" in out
+
+
+WORKER_TRAIN = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count={ndev}"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+
+coord, pid = sys.argv[1], int(sys.argv[2])
+if coord != "single":
+    from torch_rechub_tpu.parallel.distributed import initialize
+    initialize(coordinator_address=coord, num_processes=2, process_id=pid)
+    assert jax.device_count() == 8, jax.device_count()
+
+from torch_rechub_tpu.basic.features import DenseFeature, SparseFeature
+from torch_rechub_tpu.models.ranking import DeepFM
+from torch_rechub_tpu.ops.embedding import set_fused_default
+from torch_rechub_tpu.parallel.mesh import create_mesh
+from torch_rechub_tpu.trainers import CTRTrainer
+from torch_rechub_tpu.utils.data import ArrayLoader
+
+set_fused_default(True)
+mesh = create_mesh(data=4, model=2)
+rng = np.random.default_rng(0)
+n, vocab = 128, 64
+x = {f"C{i}": rng.integers(0, vocab, n).astype(np.int32) for i in range(4)}
+x["I0"] = rng.normal(size=n).astype(np.float32)
+y = rng.integers(0, 2, n).astype(np.float32)
+sparse = tuple(SparseFeature(f"C{i}", vocab_size=vocab, embed_dim=8) for i in range(4))
+model = DeepFM(deep_features=(DenseFeature("I0"),), fm_features=sparse, mlp_params={"dims": (16,), "dropout": 0.0})
+tr = CTRTrainer(model, n_epoch=1, model_path=f"/tmp/mp_ctr_{pid}", seed=0, mesh=mesh, optimizer_params={"lr": 1e-2, "weight_decay": 0.0})
+dl = ArrayLoader(x, y, batch_size=32, shuffle=False)
+losses = [tr.train_one_epoch(dl, log_interval=0) for _ in range(3)]
+# fused table must actually be row-sharded over the model axis
+from flax import traverse_util
+flat = traverse_util.flatten_dict(jax.tree_util.tree_map(lambda a: a, tr.state.params))
+tbl = [v for k, v in flat.items() if k[-1].endswith("_table")][0]
+assert not tbl.sharding.is_fully_replicated, tbl.sharding
+print("LOSSES " + ",".join(f"{l:.8f}" for l in losses), flush=True)
+"""
+
+
+def _run_train_worker(script, coord, pid, env):
+    return subprocess.Popen([sys.executable, str(script), coord, str(pid)], stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
+
+
+def test_two_process_train_step_matches_single_process(tmp_path):
+    """2-3 real CTRTrainer steps across 2 processes (fused table row-sharded
+    over `model`, DP over `data`) produce the same losses as the identical
+    single-process 8-device run — optimizer+collective evidence, not just
+    batch assembly."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__))) + os.pathsep + env.get("PYTHONPATH", "")
+
+    script2 = tmp_path / "worker_train.py"
+    script2.write_text(WORKER_TRAIN.replace("{ndev}", "4"))
+    script1 = tmp_path / "worker_train_single.py"
+    script1.write_text(WORKER_TRAIN.replace("{ndev}", "8"))
+
+    # single-process reference (8 local virtual devices, same mesh shape)
+    ref = _run_train_worker(script1, "single", 0, env)
+    ref_out, _ = ref.communicate(timeout=360)
+    assert ref.returncode == 0, ref_out[-3000:]
+    ref_losses = [float(v) for v in ref_out.split("LOSSES ")[1].strip().split(",")]
+
+    coord = f"127.0.0.1:{_free_port()}"
+    procs = [_run_train_worker(script2, coord, i, env) for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=360)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-process train test timed out")
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+        losses = [float(v) for v in out.split("LOSSES ")[1].strip().split(",")]
+        assert len(losses) == 3
+        for a, b in zip(losses, ref_losses):
+            assert abs(a - b) < 1e-5, (i, losses, ref_losses)

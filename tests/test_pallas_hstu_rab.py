@@ -93,3 +93,45 @@ def test_hstu_layer_uses_rab_kernel(force_interpret):
     out_f = fused.apply(variables, x, padding_mask=mask, time_diffs=ts)
     out_p = plain.apply(variables, x, padding_mask=mask, time_diffs=ts)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p), rtol=2e-4, atol=2e-5)
+
+
+def test_rab_kernel_composes_with_mesh_shard_map(force_interpret):
+    """The kernel runs per-shard under shard_map with the batch sharded over
+    `data` on the virtual CPU mesh — sharded == unsharded outputs.  Pins the
+    kernel's SPMD compatibility (batch-dim sharding) instead of assuming it."""
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 virtual devices")
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+
+    b = 4
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.normal(size=(b, H, L, DQK)).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.normal(size=(b, H, L, DQK)).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.normal(size=(b, H, L, DV)).astype(np.float32)) * 0.3
+    pos_w = jnp.asarray(rng.normal(size=(2 * MAXL - 1, H)).astype(np.float32)) * 0.1
+    ts_w = jnp.asarray(rng.normal(size=(CFG.num_buckets + 1, H)).astype(np.float32)) * 0.1
+    ts = jnp.asarray(np.sort(rng.integers(0, 3_000_000, (b, L)), axis=1).astype(np.int32))
+    mask = jnp.asarray(np.concatenate([np.ones((b, L - 9)), np.zeros((b, 9))], axis=1).astype(bool))
+
+    def attn(q, k, v, ts, mask):
+        return hstu_attention_rab(q, k, v, pos_w, ts_w, ts, mask, 0.125, MAXL, CFG, 128, 128)
+
+    ref = attn(q, k, v, ts, mask)
+    sharded_fn = shard_map(attn, mesh=mesh, in_specs=(P("data"), P("data"), P("data"), P("data"), P("data")), out_specs=P("data"), check_rep=False)
+    out = jax.jit(sharded_fn)(q, k, v, ts, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    # and the backward per-shard: grads of a scalar loss match unsharded
+    def loss_sharded(q, k, v):
+        return jnp.sum(jax.jit(sharded_fn)(q, k, v, ts, mask) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attn(q, k, v, ts, mask) ** 2)
+
+    gs = jax.grad(loss_sharded, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gs, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=3e-4, atol=3e-5)
