@@ -93,3 +93,44 @@ def test_faiss_backend(tmp_path):
     with builder.from_embeddings(emb) as indexer:
         ids, _ = indexer.query(emb[:3], top_k=5)
         assert ids[0, 0] == 0
+
+
+# ---------------------------------------------------------------------------
+# Milvus: contract documentation (requires a live server — skip-marked here)
+# ---------------------------------------------------------------------------
+
+def _milvus_server_available(host="localhost", port=19530):
+    import socket
+
+    try:
+        socket.create_connection((host, port), timeout=1).close()
+        return True
+    except OSError:
+        return False
+
+
+@pytest.mark.skipif(not _milvus_server_available(), reason="no live Milvus server on localhost:19530 (this environment is network-isolated; the wrapper is UNTESTED, provided for API parity with /root/reference/tests/test_serving.py:220-291)")
+def test_milvus_contract_live():
+    """The contract the wrapper implements (runs only against a live server):
+
+    - ``builder_factory("milvus", collection_name=..., index_type="FLAT"|"HNSW"|"IVF_FLAT", metric="ip"|"cosine"|"l2")``
+      returns a context-managed builder;
+    - ``builder.build(embeddings (N, D) float32, ids (N,) int64)`` creates the
+      collection, inserts rows, builds the index, returns a MilvusIndexer;
+    - ``indexer.query(q (B, D)|(D,), top_k)`` returns ``(ids (B, top_k) int64,
+      distances (B, top_k) float32)`` with -1 padding for missing hits;
+    - ``indexer.save(path)`` flushes server-side (no local artifact);
+    - exiting the builder context drops the collection.
+    """
+    pymilvus = pytest.importorskip("pymilvus")  # noqa: F841
+    from torch_rechub_tpu.serving import builder_factory
+
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(64, 8)).astype(np.float32)
+    ids = np.arange(64, dtype=np.int64)
+    with builder_factory("milvus", collection_name="rechub_test", index_type="FLAT", metric="ip") as builder:
+        indexer = builder.build(emb, ids)
+        got_ids, got_dists = indexer.query(emb[:4], top_k=5)
+        assert got_ids.shape == (4, 5) and got_dists.shape == (4, 5)
+        # exact FLAT/IP: each query's own id is its top hit
+        assert (got_ids[:, 0] == ids[:4]).all()
