@@ -120,7 +120,7 @@ def test_rab_kernel_composes_with_mesh_shard_map(force_interpret):
         return hstu_attention_rab(q, k, v, pos_w, ts_w, ts, mask, 0.125, MAXL, CFG, 128, 128)
 
     ref = attn(q, k, v, ts, mask)
-    sharded_fn = shard_map(attn, mesh=mesh, in_specs=(P("data"), P("data"), P("data"), P("data"), P("data")), out_specs=P("data"), check_rep=False)
+    sharded_fn = shard_map(attn, mesh=mesh, in_specs=(P("data"), P("data"), P("data"), P("data"), P("data")), out_specs=P("data"), check_vma=False)
     out = jax.jit(sharded_fn)(q, k, v, ts, mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
@@ -135,3 +135,60 @@ def test_rab_kernel_composes_with_mesh_shard_map(force_interpret):
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(gs, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=3e-4, atol=3e-5)
+
+
+def test_bucket_thresholds_exact_at_edges():
+    """thr[u] reproduces the f32 bucketize edges EXACTLY for every cfg:
+    (|dt| >= thr[u]) <=> (bucketize(dt) >= u), checked at random dts AND the
+    +-1 neighborhood of every boundary (sqrt and log, several divisors/units)."""
+    from torch_rechub_tpu.ops.pallas.hstu_rab_attention import compute_bucket_thresholds
+
+    imax = np.iinfo(np.int32).max
+    rng = np.random.default_rng(5)
+    cfgs = [
+        BucketCfg(16, "sqrt", 1.0, "minutes"),
+        BucketCfg(128, "sqrt", 1.0, "minutes"),
+        BucketCfg(64, "sqrt", 2.0, "seconds"),
+        BucketCfg(32, "log", 0.5, "seconds"),
+        BucketCfg(128, "log", 1.0, "minutes"),
+    ]
+    for cfg in cfgs:
+        thr = np.asarray(compute_bucket_thresholds(cfg)).astype(np.int64)
+        nb = cfg.num_buckets
+        assert thr.shape == (nb + 1,)
+        assert thr[0] == 0
+        assert np.all(np.diff(thr) >= 0), cfg
+        reach = thr < imax
+        # bucketize at thr reaches u for every reachable boundary
+        us = np.arange(nb + 1)
+        at = np.asarray(mod._bucketize(jnp.asarray(thr[reach].astype(np.int32)), cfg))
+        assert np.all(at >= us[reach]), cfg
+        # dense equivalence sweep incl. every boundary's +-1 neighborhood
+        edges = thr[reach]
+        dts = np.unique(np.concatenate([
+            rng.integers(0, imax, 4096),
+            edges, np.maximum(edges - 1, 0), np.minimum(edges + 1, imax - 1),
+        ])).astype(np.int32)
+        b = np.asarray(mod._bucketize(jnp.asarray(dts), cfg))  # (N,)
+        ge_thr = dts.astype(np.int64)[:, None] >= thr[None, :]  # (N, nb+1)
+        ge_bucket = b[:, None] >= us[None, :]
+        if cfg.fn == "sqrt":
+            # sqrt/div are correctly rounded (IEEE) => bucketize is monotone
+            # and the kernel's threshold compare is EXACTLY the dense select,
+            # including minimality (bucketize(thr-1) < u)
+            prev_ok = reach & (thr > 0)
+            below = np.asarray(mod._bucketize(jnp.asarray((thr[prev_ok] - 1).astype(np.int32)), cfg))
+            assert np.all(below < us[prev_ok]), cfg
+            np.testing.assert_array_equal(ge_thr, ge_bucket, err_msg=str(cfg))
+        else:
+            # XLA's log approximation is not ULP-monotone: disagreements may
+            # exist, but ONLY at ints in the wobble band just below a
+            # boundary (|dt - thr[u]| < 64), and the threshold side must be
+            # the monotone regularization (disagreement => dense bucketize
+            # dipped below its running max)
+            mismatch = ge_thr != ge_bucket
+            rows, cols = np.nonzero(mismatch)
+            if rows.size:
+                dist = np.abs(dts[rows].astype(np.int64) - thr[cols])
+                assert np.all(dist < 64), (cfg, dist.max())
+                assert rows.size < dts.size, cfg  # isolated points, not regions

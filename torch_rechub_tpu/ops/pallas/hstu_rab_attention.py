@@ -107,6 +107,17 @@ def compute_bucket_thresholds(cfg: BucketCfg) -> jnp.ndarray:
     lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
     reachable = _bucketize(jnp.full((nbp1,), imax, jnp.int32), cfg) >= u
     thr = jnp.where(reachable, hi, imax)
+    # sqrt and division are correctly rounded (IEEE), so the search result is
+    # exactly minimal for fn="sqrt".  XLA's log approximation need not be
+    # ULP-monotone, which can break the bisection invariant by a few ints at
+    # a boundary — repair upward to the first candidate that actually reaches
+    # bucket u, so ``bucketize(thr[u]) >= u`` always holds; any remaining
+    # kernel-vs-dense disagreement is confined to log's ULP-wobble ints just
+    # below a boundary (property-tested).
+    if cfg.fn != "sqrt":
+        cand = jnp.minimum(thr, imax - 64)[:, None] + jnp.arange(64, dtype=jnp.int32)[None, :]
+        ok = _bucketize(cand, cfg) >= u[:, None]
+        thr = jnp.where(reachable, jnp.min(jnp.where(ok, cand, imax), axis=1), imax)
     return thr.at[0].set(0)
 
 
