@@ -9,26 +9,32 @@ per-position timestamps ``(B, L)``, and reconstructs every bias tile in VMEM:
   each query block builds its ``(block_q, L)`` band once per program with
   ``block_q`` dynamic sublane slices of the head's table column;
 - time term: ``ts_w[bucket(|t_l - t_m|), h]`` where ``bucket`` is monotone in
-  ``|dt|`` — each tile computes its integer bucket map arithmetically, then
-  accumulates ``ts_w[u] * (bucket == u)`` only over the tile's actual
-  ``[min_bucket, max_bucket]`` range (timestamps are near-sorted, so tiles
-  span few buckets; correctness never depends on sortedness).
+  ``|dt|`` — round 5 replaces per-tile bucketization with PRECOMPUTED integer
+  thresholds (``compute_bucket_thresholds``: exact binary search against the
+  bucketize fn); the tile's [lo, hi] bucket range comes from a scalar SMEM
+  binary search, the bias telescopes ``tw[lo] + sum Δ_u * (adt >= thr_u)``
+  over ``(lo, hi]`` (an EMPTY loop for single-bucket tiles — clipped
+  far-past deltas), and correctness never depends on timestamp sortedness.
 
-Backward: blockwise dq and d(k,v) Pallas kernels recompute score tiles in
-VMEM (no O(L^2) HBM in either direction).  The small bias-table gradients are
-fused INTO the dq kernel: position grads via log-doubling lane rotations into
-a per-tile diagonal window (the Toeplitz transpose of the forward band
-build), time grads via the same bucket-range loop — per-program partials are
-then summed/placed by XLA.  (``_bias_table_grads``/``_skew_diag_sums`` remain
-as a tested XLA reference implementation.)
+Backward (round 5): ONE fused kernel produces dq/dk/dv/dpos/dts — grid over
+k-blocks with dq as a sequentially-revisited full-length accumulator block
+(TPU Pallas grids execute in order, so RMW accumulation is race-free); each
+causal tile is rebuilt once instead of 2-3x.  Position-table gradients use a
+coarse/fine sublane-group shift decomposition (groups coarse-rolled and
+summed first, fine log-doubling on one 8-row strip); time-table gradients
+are cumulative sums differenced outside the kernel.  The split
+``_bwd_dq_kernel``/``_bwd_dkv_kernel`` remain behind ``_FUSED_BWD[0]=False``
+for A/B, and ``_bias_table_grads``/``_skew_diag_sums`` as a tested XLA
+reference implementation.
 
 Measured on a v5e vs the dense XLA path — fwd+bwd incl. all five gradients,
 timed DEVICE-SIDE (20 steps per dispatch via lax.scan, so per-call transport
-latency is excluded; ``benchmarks/perf/hstu_bench.py``): 1.9x at B8xL256
-(4.3ms), 6.1x at B4xL1024 (10.8ms), 10.5x at B2xL2048 (14.4ms), with
-exact-match numerics; B16xL2048 runs at 304k tokens/s where the dense path
-fails to compile (O(L^2) HBM).  The serial per-row band rolls of the round-2
-version were 85% of forward runtime; log-doubling cut the band build ~29x.
+latency is excluded; ``benchmarks/perf/hstu_bench.py``): round 5 runs
+B8xL256 in 2.6-3.3ms (2.7x dense), B4xL1024 in 6.3-6.7ms (9.8x), B2xL2048
+in 8.1ms (18.5x) — 1.6-1.7x over the round-4 split kernels — and B16xL2048
+at 909k tokens/s where the dense path fails to compile (O(L^2) HBM).
+Numerics vs dense verified at every shape; dq/dk/dv bit-match the split
+kernels.  Component budget + remaining ceiling: BASELINE.md round-5.
 
 Reference semantics: ``torch_rechub/basic/layers.py:892-916`` (Eq.3) with
 ``torch_rechub/utils/hstu_utils.py:129-166`` (rab^{p,t}).
