@@ -103,3 +103,77 @@ def test_seq_trainer_steps_per_call_matches_single():
     # not bit-equal: XLA fuses the scan body differently than the standalone
     # step and Adam amplifies the roundoff; trajectories must stay close
     np.testing.assert_allclose(run(1), run(2), rtol=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# round 5: sampled softmax
+# ---------------------------------------------------------------------------
+
+def test_sampled_loss_pad_semantics_and_finiteness():
+    from torch_rechub_tpu.ops.chunked_ce import sampled_next_token_loss
+
+    rng = np.random.default_rng(0)
+    b, l, d, v = 4, 8, 16, 50
+    hidden = jnp.asarray(rng.normal(size=(b, l, d)).astype(np.float32))
+    weight = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(v,)).astype(np.float32))
+    toks = rng.integers(1, v, (b, l)).astype(np.int32)
+    toks[0, :] = 0  # fully padded row
+    toks[1, 4:] = 0  # padded suffix
+    tgts = rng.integers(1, v, b).astype(np.int32)
+    key = jax.random.PRNGKey(3)
+
+    loss = sampled_next_token_loss(hidden, weight, jnp.asarray(toks), jnp.asarray(tgts), key, bias, num_negatives=32)
+    assert np.isfinite(float(loss))
+
+    # PAD-masked positions must not contribute: perturbing the fully-padded
+    # row's hidden states leaves the loss unchanged
+    hidden2 = hidden.at[0].add(100.0)
+    loss2 = sampled_next_token_loss(hidden2, weight, jnp.asarray(toks), jnp.asarray(tgts), key, bias, num_negatives=32)
+    np.testing.assert_allclose(float(loss), float(loss2), rtol=1e-6)
+
+
+def test_sampled_loss_approximates_full_ce():
+    """With many negatives + logq correction the sampled loss tracks the full
+    CE closely (same hidden/weights, small vocab)."""
+    from torch_rechub_tpu.ops.chunked_ce import sampled_next_token_loss
+    from torch_rechub_tpu.trainers.seq_trainer import next_token_loss
+
+    rng = np.random.default_rng(1)
+    b, l, d, v = 8, 16, 16, 64
+    hidden = jnp.asarray(rng.normal(size=(b, l, d)).astype(np.float32)) * 0.3
+    weight = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32)) * 0.3
+    toks = rng.integers(1, v, (b, l)).astype(np.int32)
+    tgts = rng.integers(1, v, b).astype(np.int32)
+    logits = jnp.einsum("bld,vd->blv", hidden, weight)
+    full = float(next_token_loss(logits, jnp.asarray(toks), jnp.asarray(tgts), 1.0, 0))
+    samples = [
+        float(sampled_next_token_loss(hidden, weight, jnp.asarray(toks), jnp.asarray(tgts), jax.random.PRNGKey(s), None, num_negatives=2048))
+        for s in range(4)
+    ]
+    assert abs(np.mean(samples) - full) / full < 0.15, (np.mean(samples), full)
+
+
+def test_seq_trainer_sampled_softmax_learns():
+    """SeqTrainer(loss_type='sampled_softmax') learns the successor task."""
+    from torch_rechub_tpu.models.generative.hstu import HSTUModel
+    from torch_rechub_tpu.trainers import SeqTrainer
+    from torch_rechub_tpu.utils.data import SeqLoader
+
+    rng = np.random.default_rng(0)
+    vocab, L, n = 30, 16, 128
+    starts = rng.integers(1, vocab, n)
+    toks = np.zeros((n, L), np.int32)
+    for i, s in enumerate(starts):
+        toks[i] = 1 + (s - 1 + np.arange(L)) % (vocab - 1)
+    tds = np.tile(np.arange(L) * 60, (n, 1)).astype(np.int32)
+    targets = (1 + (toks[:, -1] - 1 + 1) % (vocab - 1)).astype(np.int32)
+    pos = np.tile(np.arange(L), (n, 1))
+    model = HSTUModel(vocab_size=vocab, d_model=32, n_heads=2, n_layers=1, dqk=8, dv=8, max_seq_len=L, dropout=0.0, num_time_buckets=8, tie_embeddings=False)
+    tr = SeqTrainer(model, n_epoch=1, model_path="/tmp/seq_sampled", loss_type="sampled_softmax", loss_params={"num_negatives": 16}, sparse_embedding="adagrad", optimizer_params={"lr": 5e-3}, steps_per_call=2)
+    dl = SeqLoader(toks, pos, targets, tds, batch_size=32, shuffle=False)
+    for _ in range(8):
+        tr.train_one_epoch(dl, log_interval=0)
+    vloss, acc = tr.evaluate(dl)
+    assert np.isfinite(vloss)
+    assert acc > 0.7, acc

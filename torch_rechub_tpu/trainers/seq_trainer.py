@@ -20,7 +20,7 @@ import numpy as np
 
 from ..basic.callback import EarlyStopper
 from ..basic.tracking import iter_loggers
-from ..ops.chunked_ce import chunked_last_logits, chunked_next_token_loss
+from ..ops.chunked_ce import chunked_last_logits, chunked_next_token_loss, sampled_next_token_loss
 from .base import JaxTrainer, TrainState, apply_updates, to_numpy
 
 
@@ -54,9 +54,15 @@ class SeqTrainer(JaxTrainer):
                 "gradient through the CE logits matmul, so sparse row-wise updates would "
                 "silently drop it. Untie the model (or use the dense path for tied models)."
             )
+        if loss_type not in ("cross_entropy", "nce", "sampled_softmax"):
+            raise ValueError(f"loss_type must be cross_entropy|nce|sampled_softmax, got {loss_type!r}")
         self.loss_type = loss_type
         if loss_type == "nce":
             self.loss_params = loss_params or {"temperature": 0.1, "ignore_index": 0}
+        elif loss_type == "sampled_softmax":
+            # O(num_negatives) output cost instead of O(V) — the production
+            # choice at Amazon-Books-scale vocabs (ops/chunked_ce.py)
+            self.loss_params = {"num_negatives": 1024, "ignore_index": 0, **(loss_params or {})}
         else:
             self.loss_params = loss_params or {"ignore_index": 0}
         # When set, the (B, L, V) logits tensor is never materialized: the
@@ -82,8 +88,16 @@ class SeqTrainer(JaxTrainer):
 
         consts = self.const_vars
 
+        sampled = self.loss_type == "sampled_softmax"
+        num_negatives = int(self.loss_params.get("num_negatives", 1024)) if sampled else 0
+
         def loss_fn(params, batch_stats, seq_tokens, time_diffs, targets, rng):
             variables = {"params": params, "batch_stats": batch_stats, **consts}
+            if sampled:
+                with self.pscope():
+                    out, mutated = model.apply(variables, seq_tokens, time_diffs, training=True, return_hidden=True, rngs={"dropout": rng}, mutable=["batch_stats"])
+                    loss = sampled_next_token_loss(out["hidden"], out["weight"], seq_tokens, targets, jax.random.fold_in(rng, 0x5A), out["bias"], chunked_t, ignore_index, num_negatives)
+                return loss, mutated.get("batch_stats", batch_stats)
             if chunk is not None:
                 with self.pscope():
                     out, mutated = model.apply(variables, seq_tokens, time_diffs, training=True, return_hidden=True, rngs={"dropout": rng}, mutable=["batch_stats"])
@@ -115,13 +129,18 @@ class SeqTrainer(JaxTrainer):
 
             return jax.lax.scan(body, state, (toks, tds, tgts, rngs))
 
+        # evaluation always scores the FULL vocab (exact loss + top-1); the
+        # sampled-softmax TRAIN loss therefore defaults to chunked eval so a
+        # (B, L, V) logits tensor never materializes at production vocabs
+        eval_chunk = chunk if chunk is not None else (8192 if sampled else None)
+
         @jax.jit
         def eval_step(params, batch_stats, seq_tokens, time_diffs, targets):
             variables = {"params": params, "batch_stats": batch_stats, **consts}
-            if chunk is not None:
+            if eval_chunk is not None:
                 with self.pscope():
                     out = model.apply(variables, seq_tokens, time_diffs, training=False, return_hidden=True)
-                    loss = chunked_next_token_loss(out["hidden"], out["weight"], seq_tokens, targets, out["bias"], chunked_t, ignore_index, chunk)
+                    loss = chunked_next_token_loss(out["hidden"], out["weight"], seq_tokens, targets, out["bias"], chunked_t, ignore_index, eval_chunk)
                     last = chunked_last_logits(out["hidden"][:, -1, :], out["weight"], out["bias"], chunked_t)
                 last = last.astype(jnp.float32).at[:, ignore_index].set(-1e9)
                 return loss, jnp.argmax(last, axis=-1)
@@ -170,11 +189,17 @@ class SeqTrainer(JaxTrainer):
                 jax.ShapeDtypeStruct(time_diffs.shape, jnp.int32),
             )
 
+        sampled = self.loss_type == "sampled_softmax"
+        num_negatives = int(self.loss_params.get("num_negatives", 1024)) if sampled else 0
+
         def sparse_loss_fn(rest_flat, perts, tables_flat, batch_stats, seq_tokens, time_diffs, targets, rng):
             params = su.merge_params(tables_flat, rest_flat)
             variables = {"params": params, "batch_stats": batch_stats, "perturbations": perts, **consts}
             with self.pscope():
-                if chunk is not None:
+                if sampled:
+                    out, mutated = model.apply(variables, seq_tokens, time_diffs, training=True, return_hidden=True, rngs={"dropout": rng}, mutable=["batch_stats", "embedding_ids"])
+                    loss = sampled_next_token_loss(out["hidden"], out["weight"], seq_tokens, targets, jax.random.fold_in(rng, 0x5A), out["bias"], chunked_t, ignore_index, num_negatives)
+                elif chunk is not None:
                     out, mutated = model.apply(variables, seq_tokens, time_diffs, training=True, return_hidden=True, rngs={"dropout": rng}, mutable=["batch_stats", "embedding_ids"])
                     loss = chunked_next_token_loss(out["hidden"], out["weight"], seq_tokens, targets, out["bias"], chunked_t, ignore_index, chunk)
                 else:
