@@ -177,3 +177,32 @@ def test_seq_trainer_sampled_softmax_learns():
     vloss, acc = tr.evaluate(dl)
     assert np.isfinite(vloss)
     assert acc > 0.7, acc
+
+
+def test_sampled_row_grads_match_dense_weight_grad():
+    """scatter(candidate ids, d loss/d gathered rows) == dense d loss/d weight
+    (the identity the sparse-output SeqTrainer path relies on)."""
+    from torch_rechub_tpu.ops.chunked_ce import sampled_candidates, sampled_loss_from_rows, sampled_next_token_loss
+
+    rng = np.random.default_rng(2)
+    b, l, d, v, s = 4, 8, 16, 40, 24
+    hidden = jnp.asarray(rng.normal(size=(b, l, d)).astype(np.float32)) * 0.3
+    weight = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32)) * 0.3
+    bias = jnp.asarray(rng.normal(size=(v,)).astype(np.float32)) * 0.1
+    toks = rng.integers(1, v, (b, l)).astype(np.int32)
+    toks[1, 5:] = 0
+    tgts = rng.integers(1, v, b).astype(np.int32)
+    key = jax.random.PRNGKey(9)
+
+    dense_grad = jax.grad(lambda w: sampled_next_token_loss(hidden, w, jnp.asarray(toks), jnp.asarray(tgts), key, bias, num_negatives=s))(weight)
+
+    next_tokens, negs = sampled_candidates(jnp.asarray(toks), jnp.asarray(tgts), key, v, s)
+    w_pos = jnp.take(weight, next_tokens, axis=0)
+    w_neg = jnp.take(weight, negs, axis=0)
+
+    def rows_loss(w_pos, w_neg):
+        return sampled_loss_from_rows(hidden, w_pos, w_neg, bias[next_tokens], bias[negs], next_tokens, negs, v)
+
+    g_pos, g_neg = jax.grad(rows_loss, argnums=(0, 1))(w_pos, w_neg)
+    scattered = jnp.zeros_like(weight).at[next_tokens.reshape(-1)].add(g_pos.reshape(-1, d)).at[negs].add(g_neg)
+    np.testing.assert_allclose(np.asarray(scattered), np.asarray(dense_grad), rtol=1e-5, atol=1e-6)

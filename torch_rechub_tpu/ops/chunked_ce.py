@@ -135,22 +135,39 @@ def sampled_next_token_loss(hidden: jnp.ndarray, weight: jnp.ndarray, seq_tokens
             (standard sampled-softmax correction for uniform proposals), so
             the estimator targets the full-softmax gradient in expectation.
     """
-    b, l, d = hidden.shape
     v = weight.shape[0]
-    next_tokens = jnp.concatenate([seq_tokens[:, 1:], targets[:, None]], axis=1).astype(jnp.int32)
-    next_tokens = jnp.where(seq_tokens == 0, 0, next_tokens)
-
-    negs = jax.random.randint(rng, (num_negatives,), 1, v)  # uniform over non-PAD vocab
+    next_tokens, negs = sampled_candidates(seq_tokens, targets, rng, v, num_negatives)
     w_pos = jnp.take(weight, next_tokens, axis=0)  # (B, L, D)
     w_neg = jnp.take(weight, negs, axis=0)  # (S, D)
+    b_pos = bias[next_tokens] if bias is not None else None
+    b_neg = bias[negs] if bias is not None else None
+    return sampled_loss_from_rows(hidden, w_pos, w_neg, b_pos, b_neg, next_tokens, negs, v, temperature, ignore_index, remove_accidental_hits, logq_correction)
+
+
+def sampled_candidates(seq_tokens, targets, rng, vocab_size: int, num_negatives: int):
+    """(next_tokens (B, L), negs (S,)) — the candidate ids of the sampled loss.
+
+    Split out so a sparse-update trainer can gather the candidate rows
+    OUTSIDE ``jax.grad`` and take explicit row gradients (the output table
+    then never receives a dense cotangent; see SeqTrainer._build_sparse_steps).
+    """
+    next_tokens = jnp.concatenate([seq_tokens[:, 1:], targets[:, None]], axis=1).astype(jnp.int32)
+    next_tokens = jnp.where(seq_tokens == 0, 0, next_tokens)
+    negs = jax.random.randint(rng, (num_negatives,), 1, vocab_size)  # uniform over non-PAD vocab
+    return next_tokens, negs
+
+
+def sampled_loss_from_rows(hidden, w_pos, w_neg, b_pos, b_neg, next_tokens, negs, vocab_size: int, temperature: float = 1.0, ignore_index: int = 0, remove_accidental_hits: bool = True, logq_correction: bool = True) -> jnp.ndarray:
+    """Sampled-softmax loss from pre-gathered candidate rows (see above)."""
+    num_negatives = negs.shape[0]
     logits_pos = jnp.einsum("bld,bld->bl", hidden, w_pos.astype(hidden.dtype)).astype(jnp.float32)
     logits_neg = jnp.einsum("bld,sd->bls", hidden, w_neg.astype(hidden.dtype)).astype(jnp.float32)
-    if bias is not None:
-        logits_pos = logits_pos + bias[next_tokens]
-        logits_neg = logits_neg + bias[negs]
+    if b_pos is not None:
+        logits_pos = logits_pos + b_pos
+        logits_neg = logits_neg + b_neg
     if logq_correction:
         # E[count] = S/(V-1) per negative class; the target is always present
-        logits_neg = logits_neg - jnp.log(num_negatives / (v - 1.0))
+        logits_neg = logits_neg - jnp.log(num_negatives / (vocab_size - 1.0))
     if remove_accidental_hits:
         hit = negs[None, None, :] == next_tokens[..., None]
         logits_neg = jnp.where(hit, _NEG_INF, logits_neg)

@@ -124,7 +124,9 @@ def pair_sparse_grads(pert_grads, ids_tree):
         ids_leaf = ids_flat[scope + (f"ids_{tag}",)]
         ids = ids_leaf[0] if isinstance(ids_leaf, tuple) else ids_leaf
         if tag.startswith("named_"):
-            table_key = scope + (tag[len("named_"):],)
+            # a "__suffix" distinguishes several gather sites of ONE named
+            # table (e.g. output_projection__pos / __neg in sampled softmax)
+            table_key = scope + (tag[len("named_"):].split("__")[0],)
         else:
             dim = int(tag.split("_")[0][1:])
             table_key = scope + (f"{TABLE_PREFIX}{dim}{TABLE_SUFFIX}",)

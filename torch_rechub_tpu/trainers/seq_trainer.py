@@ -183,22 +183,44 @@ class SeqTrainer(JaxTrainer):
                 with self.pscope():
                     return model.apply({"params": p, "batch_stats": b, **consts}, toks, tds, training=False, mutable=["perturbations"])[1]
 
-            return sp.pert_template_from(
+            tmpl = dict(sp.pert_template_from(
                 _pert_shapes, state.params, state.batch_stats,
                 jax.ShapeDtypeStruct(seq_tokens.shape, jnp.int32),
                 jax.ShapeDtypeStruct(time_diffs.shape, jnp.int32),
-            )
+            ))
+            if sampled:
+                bsz, l = seq_tokens.shape
+                d = int(model.d_model)
+                tmpl["demb_named_output_projection__pos"] = jax.ShapeDtypeStruct((bsz, l, d), jnp.float32)
+                tmpl["demb_named_output_projection__neg"] = jax.ShapeDtypeStruct((num_negatives, d), jnp.float32)
+            return tmpl
 
         sampled = self.loss_type == "sampled_softmax"
         num_negatives = int(self.loss_params.get("num_negatives", 1024)) if sampled else 0
+        vocab = int(getattr(model, "vocab_size", 0))
 
         def sparse_loss_fn(rest_flat, perts, tables_flat, batch_stats, seq_tokens, time_diffs, targets, rng):
             params = su.merge_params(tables_flat, rest_flat)
             variables = {"params": params, "batch_stats": batch_stats, "perturbations": perts, **consts}
             with self.pscope():
                 if sampled:
+                    # the OUTPUT table is sparse here too: only the candidate
+                    # rows (targets + shared negatives) are gathered, with
+                    # trainer-level perturbations standing in for row grads —
+                    # no dense (V, d) cotangent, no dense Adam moments
                     out, mutated = model.apply(variables, seq_tokens, time_diffs, training=True, return_hidden=True, rngs={"dropout": rng}, mutable=["batch_stats", "embedding_ids"])
-                    loss = sampled_next_token_loss(out["hidden"], out["weight"], seq_tokens, targets, jax.random.fold_in(rng, 0x5A), out["bias"], chunked_t, ignore_index, num_negatives)
+                    from ..ops.chunked_ce import sampled_candidates, sampled_loss_from_rows
+
+                    table = tables_flat[("output_projection",)]
+                    next_tokens, negs = sampled_candidates(seq_tokens, targets, jax.random.fold_in(rng, 0x5A), vocab, num_negatives)
+                    w_pos = jnp.take(table, next_tokens, axis=0) + perts["demb_named_output_projection__pos"]
+                    w_neg = jnp.take(table, negs, axis=0) + perts["demb_named_output_projection__neg"]
+                    bias = out["bias"]
+                    b_pos = bias[next_tokens] if bias is not None else None
+                    b_neg = bias[negs] if bias is not None else None
+                    loss = sampled_loss_from_rows(out["hidden"], w_pos, w_neg, b_pos, b_neg, next_tokens, negs, vocab, chunked_t, ignore_index)
+                    ids_tree = {**mutated.get("embedding_ids", {}), "ids_named_output_projection__pos": next_tokens, "ids_named_output_projection__neg": negs}
+                    return loss, (mutated.get("batch_stats", batch_stats), ids_tree)
                 elif chunk is not None:
                     out, mutated = model.apply(variables, seq_tokens, time_diffs, training=True, return_hidden=True, rngs={"dropout": rng}, mutable=["batch_stats", "embedding_ids"])
                     loss = chunked_next_token_loss(out["hidden"], out["weight"], seq_tokens, targets, out["bias"], chunked_t, ignore_index, chunk)
@@ -207,7 +229,7 @@ class SeqTrainer(JaxTrainer):
                     loss = next_token_loss(logits, seq_tokens, targets, temperature, ignore_index)
             return loss, (mutated.get("batch_stats", batch_stats), mutated.get("embedding_ids", {}))
 
-        one_sparse_step = sp.make_sparse_step(self, sparse_loss_fn, pert_template, self.sparse_embedding, extra_names=("token_embedding",), spare_rows={"token_embedding": 0})
+        one_sparse_step = sp.make_sparse_step(self, sparse_loss_fn, pert_template, self.sparse_embedding, extra_names=self._sparse_extra_names(), spare_rows={"token_embedding": 0, "output_projection": 0})
 
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state, seq_tokens, time_diffs, targets, lr, rng):
@@ -254,13 +276,21 @@ class SeqTrainer(JaxTrainer):
         self.state = TS(params=params, batch_stats=batch_stats, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
         return self.state
 
+    def _sparse_extra_names(self):
+        """Named tables the sparse path owns: the input token table always;
+        the output projection too under sampled softmax (only candidate rows
+        are touched there — dense CE would touch every row)."""
+        if self.loss_type == "sampled_softmax":
+            return ("token_embedding", "output_projection")
+        return ("token_embedding",)
+
     def _ensure_ready(self, loader):
         if self.state is None:
             self.init_state_from_batch(next(iter(loader)))
             if self.sparse_embedding:
                 from .sparse import init_sparse_opt_state
 
-                init_sparse_opt_state(self, extra_names=("token_embedding",))
+                init_sparse_opt_state(self, extra_names=self._sparse_extra_names())
         if self._train_step is None:
             self._build_steps()
 
