@@ -41,7 +41,7 @@ REFERENCE_EXAMPLES_PER_S = 14380.7  # torch-rechub DeepFM, torch CPU, small tabl
 REFERENCE_FULL_EXAMPLES_PER_S = 3099.4  # same, Criteo-full-shaped vocabs (idle-machine median, see BASELINE.md)
 
 B, N_SPARSE, N_DENSE, VOCAB, DIM = 4096, 26, 13, 10000, 16
-N_BATCHES = 192  # fresh examples per epoch = N_BATCHES * B ≈ 786k
+N_BATCHES = 288  # fresh examples per epoch = N_BATCHES * B ≈ 1.18M (longer epochs: sub-second epochs made the spread hostage to transient host jitter)
 EPOCHS = 7  # median over these
 V5E_BF16_PEAK = 197e12
 
@@ -68,7 +68,10 @@ def _run_epochs(trainer, loader, n):
         trainer.train_one_epoch(loader, log_interval=0)  # returns host float (sync)
         times.append(time.perf_counter() - t0)
     med = float(np.median(times))
-    return n / med, (max(times) - min(times)) / med
+    # interquartile spread: robust to a single jittery epoch (the tunnel/host
+    # occasionally stalls one epoch by >10%, which made max-min misleading)
+    q25, q75 = np.percentile(times, [25, 75])
+    return n / med, float((q75 - q25) / med)
 
 
 def bench_small():
