@@ -192,6 +192,7 @@ def _build_band(pw_ref, band_ref, start, rows, cols):
 
 _TW_CHUNK = 16  # buckets per loop iteration (measured: 16 beats 8 and 4 on v5e —
 # the scalar fori overhead outweighs the <= chunk-1 bucket overshoot)
+_WALK_ACC16 = True  # amortize the dts walk's cross-lane reduce over the chunk
 
 
 def _tw_select(tw_ref, head, bucket):
@@ -540,16 +541,39 @@ def _bwd_fused_kernel(pw_ref, tw_ref, thr_ref, ts_ref, q_ref, k_ref, v_ref, g_re
             dts_row = dts_row + total * (lane <= lo).astype(jnp.float32)
             last_thr = nbp1 - 1
 
-            def dts_body(c, row):
-                u0 = lo + 1 + c * _TW_CHUNK
-                for j in range(_TW_CHUNK):
-                    u = u0 + j
-                    uc = jnp.minimum(u, last_thr)
-                    s_u = jnp.sum(jnp.where(adt >= thr_ref[0, uc], ds, 0.0)) * (u <= hi).astype(jnp.float32)
-                    row = row + s_u * (lane == u).astype(jnp.float32)
-                return row
+            if _WALK_ACC16:
+                # amortized cross-lane reduction: per chunk, 16 per-bucket
+                # SUBLANE-only partial rows are stacked (16, block_k) and
+                # cross-lane-reduced ONCE, then placed into 16 lanes of the
+                # cumulative row with a single sublane/lane iota compare
+                srow_k = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+                lane16 = jax.lax.broadcasted_iota(jnp.int32, (16, nb_lanes), 1)
+                sub16 = jax.lax.broadcasted_iota(jnp.int32, (16, nb_lanes), 0)
 
-            dts_row = jax.lax.fori_loop(0, (hi - lo + _TW_CHUNK - 1) // _TW_CHUNK, dts_body, dts_row)
+                def dts_body(c, row):
+                    u0 = lo + 1 + c * _TW_CHUNK
+                    cols = []
+                    for j in range(_TW_CHUNK):
+                        uc = jnp.minimum(u0 + j, last_thr)
+                        cols.append(jnp.sum(jnp.where(adt >= thr_ref[0, uc], ds, 0.0), axis=0))
+                    acc16 = jnp.stack(cols)  # (16, block_k)
+                    s16 = jnp.sum(acc16, axis=1, keepdims=True)  # ONE cross-lane reduce
+                    s16 = s16 * ((u0 + srow_k) <= hi).astype(jnp.float32)
+                    return row + jnp.sum(s16 * (lane16 == u0 + sub16).astype(jnp.float32), axis=0, keepdims=True)
+
+                dts_row = jax.lax.fori_loop(0, (hi - lo + _TW_CHUNK - 1) // _TW_CHUNK, dts_body, dts_row)
+            else:
+
+                def dts_body(c, row):
+                    u0 = lo + 1 + c * _TW_CHUNK
+                    for j in range(_TW_CHUNK):
+                        u = u0 + j
+                        uc = jnp.minimum(u, last_thr)
+                        s_u = jnp.sum(jnp.where(adt >= thr_ref[0, uc], ds, 0.0)) * (u <= hi).astype(jnp.float32)
+                        row = row + s_u * (lane == u).astype(jnp.float32)
+                    return row
+
+                dts_row = jax.lax.fori_loop(0, (hi - lo + _TW_CHUNK - 1) // _TW_CHUNK, dts_body, dts_row)
         # diagonal sums into the (l + block_k) lane window at offset
         # l - q0 - block_q: element (i, c) of this tile lands at global slot
         # center + (k0 + c) - (q0 + i) = window_base + (l - q0 - bq) + c + (bq-1-i)
