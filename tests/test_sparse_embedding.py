@@ -292,3 +292,64 @@ def test_seq_sparse_learns_chunked(method):
     losses = [trainer.train_one_epoch(dl) for _ in range(3)]
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def build_mtl(n=256, vocab=48, seed=0):
+    from torch_rechub_tpu.models.multi_task import MMOE
+
+    rng = np.random.default_rng(seed)
+    x = {f"C{i}": rng.integers(0, vocab, n).astype(np.int32) for i in range(4)}
+    x["I0"] = rng.normal(size=n).astype(np.float32)
+    ys = np.stack([((x["C0"] + x["C1"]) % 2), ((x["C2"] % 2))], axis=1).astype(np.float32)
+    sparse = tuple(SparseFeature(f"C{i}", vocab_size=vocab, embed_dim=8) for i in range(4))
+    dense = (DenseFeature("I0"),)
+    model = MMOE(features=sparse + dense, task_types=["classification", "classification"], n_expert=2, expert_params={"dims": (16,), "dropout": 0.0}, tower_params_list=[{"dims": (8,), "dropout": 0.0}, {"dims": (8,), "dropout": 0.0}])
+    return model, x, ys
+
+
+def test_mtl_sparse_sgd_exact_vs_dense_grad():
+    """One MTLTrainer (mean aggregation) sparse-SGD step == dense table grad."""
+    from torch_rechub_tpu.trainers.mtl_trainer import MTLTrainer, _task_loss
+
+    model, x, ys = build_mtl()
+    lr = 0.05
+    trainer = MTLTrainer(model, ["classification", "classification"], n_epoch=1, model_path="/tmp/rechub_mtl_sparse", sparse_embedding="sgd", optimizer_params={"lr": lr})
+    dl = ArrayLoader(x, ys, batch_size=len(ys), shuffle=False)
+    trainer._ensure_ready(dl)
+    params0 = jax.device_get(trainer.state.params)
+    bs0 = jax.device_get(trainer.state.batch_stats)
+
+    xb = {k: jnp.asarray(v) for k, v in x.items()}
+    yb = jnp.asarray(ys, jnp.float32)
+    w = jnp.ones(len(ys), jnp.float32)
+    rng = jax.random.PRNGKey(0)
+
+    def dense_loss(params):
+        out, _ = model.apply({"params": params, "batch_stats": bs0}, xb, training=True, rngs={"dropout": rng}, mutable=["batch_stats"])
+        ll = jnp.stack([_task_loss(out[:, i], yb[:, i], "classification", w) for i in range(2)])
+        return jnp.mean(ll)
+
+    dense_tables, _ = split_fused_tables(jax.grad(dense_loss)(params0))
+
+    trainer.train_one_epoch(dl, log_interval=0)
+    new_tables, _ = split_fused_tables(jax.device_get(trainer.state.params))
+    old_tables, _ = split_fused_tables(params0)
+    for tkey, new in new_tables.items():
+        expected = old_tables[tkey] - lr * np.asarray(dense_tables[tkey])
+        np.testing.assert_allclose(np.asarray(new), expected, rtol=1e-5, atol=1e-6)
+
+
+def test_mtl_sparse_uwl_learns_and_gradnorm_raises():
+    from torch_rechub_tpu.trainers.mtl_trainer import MTLTrainer
+
+    model, x, ys = build_mtl(n=512)
+    with pytest.raises(ValueError, match="gradnorm"):
+        MTLTrainer(model, ["classification", "classification"], adaptive_params={"method": "gradnorm"}, sparse_embedding="adagrad")
+
+    trainer = MTLTrainer(model, ["classification", "classification"], adaptive_params={"method": "uwl"}, n_epoch=2, model_path="/tmp/rechub_mtl_uwl_sparse", sparse_embedding="adagrad", steps_per_call=2, optimizer_params={"lr": 1e-2})
+    dl = ArrayLoader(x, ys, batch_size=64, shuffle=False)
+    first = trainer.train_one_epoch(dl, log_interval=0)
+    last = trainer.train_one_epoch(dl, log_interval=0)
+    first, last = np.mean(first), np.mean(last)
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first, (first, last)

@@ -65,7 +65,7 @@ def _task_loss(pred, y, task_type, weight):
 
 
 class MTLTrainer(JaxTrainer):
-    def __init__(self, model, task_types, optimizer_params=None, regularization_params=None, scheduler_params=None, adaptive_params=None, n_epoch=10, earlystop_taskid=0, earlystop_patience=10, model_path="./", model_logger=None, mesh=None, seed=0, steps_per_call=1, precision=None):
+    def __init__(self, model, task_types, optimizer_params=None, regularization_params=None, scheduler_params=None, adaptive_params=None, n_epoch=10, earlystop_taskid=0, earlystop_patience=10, model_path="./", model_logger=None, mesh=None, seed=0, steps_per_call=1, sparse_embedding=None, precision=None):
         super().__init__(model, optimizer_params, scheduler_params, n_epoch, earlystop_patience, model_path, mesh, seed, model_logger, precision=precision)
         # steps_per_call > 1 runs that many optimizer steps per device
         # dispatch via lax.scan over stacked batches (see CTRTrainer).
@@ -85,6 +85,22 @@ class MTLTrainer(JaxTrainer):
         self.alpha = self.adaptive_params.get("alpha", 0.16)
         self.relax_factor = self.adaptive_params.get("relax_factor", 0.7)
         self.beta = self.adaptive_params.get("beta", 0.9)
+        # sparse_embedding: None | "sgd" | "adagrad" — row-wise updates of the
+        # fused feature tables (production MTL configs like Ali-CCP carry
+        # 100k+ user/item vocabs).  Only for mean/uwl/esmm aggregation:
+        # GradNorm and MetaBalance take PER-TASK gradients of every shared
+        # parameter — each task would need its own dense table cotangent,
+        # which is exactly what the sparse path exists to avoid.
+        from .sparse import validate_method
+
+        self.sparse_embedding = validate_method(sparse_embedding)
+        if self.sparse_embedding and self.adaptive_method in ("gradnorm", "metabalance"):
+            raise ValueError(
+                f"sparse_embedding is incompatible with adaptive method {self.adaptive_method!r}: "
+                "per-task gradient surgery needs a dense per-task gradient over every shared "
+                "parameter (including the tables). Use mean/uwl aggregation with sparse tables, "
+                "or the dense path for gradnorm/metabalance."
+            )
         self.is_esmm = isinstance(model, ESMM)
         self.state: Optional[MTLTrainState] = None
         self._train_step = None
@@ -116,7 +132,20 @@ class MTLTrainer(JaxTrainer):
         else:
             loss_weight = None
         trainable = {"model": params} if loss_weight is None else {"model": params, "loss_weight": loss_weight}
-        opt_state = self.tx.init(trainable)
+        if self.sparse_embedding:
+            from ..ops import sparse_update as su
+
+            tables_flat, rest_flat = su.split_fused_tables(params)
+            if not tables_flat:
+                raise ValueError(
+                    "sparse_embedding requires fused embedding tables; the default 'auto' layout "
+                    "only fuses tables with >=262144 rows — call ops.embedding.set_fused_default(True) "
+                    "before building the model to fuse everything"
+                )
+            dense_trainable = dict(trainable, model=su.merge_params({}, rest_flat))
+            opt_state = (self.tx.init(dense_trainable), su.init_accumulators(tables_flat))
+        else:
+            opt_state = self.tx.init(trainable)
         mb_norms = None
         if self.adaptive_method == "metabalance":
             mb_norms = tuple(jnp.zeros((self.n_task,), jnp.float32) for _ in jax.tree_util.tree_leaves(params))
@@ -240,6 +269,96 @@ class MTLTrainer(JaxTrainer):
             return out.astype(jnp.float32)
 
         self._train_step, self._train_steps_scan, self._predict_step = train_step, train_steps_scan, predict_step
+        if self.sparse_embedding:
+            self._build_sparse_steps()
+
+    def _build_sparse_steps(self):
+        """Row-wise sparse table updates for mean/uwl/esmm aggregation.
+
+        Same mechanism as the other trainers (``trainers/sparse.py``): the
+        tables are excluded from jax.grad, d loss/d gathered-rows comes from
+        the perturbation hooks, and scatter updates touch only the rows the
+        batch used.  The dense optax path keeps ``loss_weight`` (UWL) and
+        every non-table parameter.  Regularization applies to dense params.
+        """
+        from flax import traverse_util
+
+        from ..ops import sparse_update as su
+        from . import sparse as sp
+
+        model, reg = self.model, self.reg_loss_fn
+        task_types, n_task, is_esmm = self.task_types, self.n_task, self.is_esmm
+        method = self.adaptive_method
+        tx = self.tx
+        sparse_method = self.sparse_embedding
+
+        def pert_template(state, x):
+            sds = {k: jax.ShapeDtypeStruct(v.shape, v.dtype) for k, v in x.items()}
+
+            def _shapes(p, b, xx):
+                with self.pscope():
+                    return model.apply({"params": p, "batch_stats": b}, xx, training=False, mutable=["perturbations"])[1]
+
+            return sp.pert_template_from(_shapes, state.params, state.batch_stats, sds)
+
+        def aggregate(loss_list, loss_weight):
+            if is_esmm:
+                return jnp.sum(loss_list[1:])
+            if method == "uwl":
+                w = jnp.maximum(loss_weight, 0.0)
+                return jnp.sum(2.0 * loss_list * jnp.exp(-w) + w)
+            return jnp.mean(loss_list)
+
+        def step_body(state: MTLTrainState, x, ys, w, lr, rng):
+            tables_flat, rest_flat = su.split_fused_tables(state.params)
+            opt_state, accums = state.opt_state
+            perts = jax.tree_util.tree_map(lambda sd: jnp.zeros(sd.shape, sd.dtype), pert_template(state, x))
+
+            def loss_fn(trainable, perts):
+                params = su.merge_params(tables_flat, traverse_util.flatten_dict(trainable["model"]))
+                with self.pscope():
+                    out, mutated = model.apply({"params": params, "batch_stats": state.batch_stats, "perturbations": perts}, x, training=True, rngs={"dropout": rng}, mutable=["batch_stats", "embedding_ids"])
+                loss_list = jnp.stack([_task_loss(out[:, i], ys[:, i].astype(jnp.float32), task_types[i], w) for i in range(n_task)])
+                loss = aggregate(loss_list, trainable.get("loss_weight"))
+                if reg:
+                    loss = loss + reg(trainable["model"])
+                return loss, (loss_list, mutated.get("batch_stats", state.batch_stats), mutated.get("embedding_ids", {}))
+
+            trainable = {"model": su.merge_params({}, rest_flat)}
+            if state.loss_weight is not None:
+                trainable["loss_weight"] = state.loss_weight
+            (loss, (loss_list, new_bs, ids_tree)), (g_tr, g_pert) = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(trainable, perts)
+            updates, opt_state = tx.update(g_tr, opt_state, trainable)
+            new_trainable = apply_updates(trainable, updates, lr)
+            rest_flat = traverse_util.flatten_dict(new_trainable["model"])
+            by_table = {}
+            for tkey, fids, fgrads in su.pair_sparse_grads(g_pert, ids_tree):
+                by_table.setdefault(tkey, []).append((fids, fgrads))
+            accums = dict(accums)
+            for tkey, parts in by_table.items():
+                fids = jnp.concatenate([p[0] for p in parts])
+                fgrads = jnp.concatenate([p[1] for p in parts])
+                if sparse_method == "sgd":
+                    tables_flat[tkey] = su.sparse_sgd_update(tables_flat[tkey], fids, fgrads, lr)
+                else:
+                    tables_flat[tkey], accums[tkey] = su.rowwise_adagrad_update(tables_flat[tkey], accums[tkey], fids, fgrads, lr)
+            params = su.merge_params(tables_flat, rest_flat)
+            initial = jax.lax.cond(state.step == 0, lambda: loss_list, lambda: state.initial_task_loss)
+            return state.replace(params=params, loss_weight=new_trainable.get("loss_weight"), batch_stats=new_bs, opt_state=(opt_state, accums), step=state.step + 1, initial_task_loss=initial), loss_list
+
+        train_step = partial(jax.jit, donate_argnums=(0,))(step_body)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_steps_scan(state: MTLTrainState, xs, yss, ws, lr, rng):
+            rngs = jax.random.split(rng, yss.shape[0])
+
+            def body(state, batch):
+                x, ys_b, w_b, r = batch
+                return step_body(state, x, ys_b, w_b, lr, r)
+
+            return jax.lax.scan(body, state, (xs, yss, ws, rngs))
+
+        self._train_step, self._train_steps_scan = train_step, train_steps_scan
 
     def _ensure_ready(self, loader):
         if self.state is None:
