@@ -32,7 +32,8 @@ timed DEVICE-SIDE (20 steps per dispatch via lax.scan, so per-call transport
 latency is excluded; ``benchmarks/perf/hstu_bench.py``): round 5 runs
 B8xL256 in 2.6-3.3ms (2.7x dense), B4xL1024 in 6.3-6.7ms (9.8x), B2xL2048
 in 8.1ms (18.5x) — 1.6-1.7x over the round-4 split kernels — and B16xL2048
-at 909k tokens/s where the dense path fails to compile (O(L^2) HBM).
+at 554-591k tokens/s (f32-bf16) where the dense path fails to compile
+(O(L^2) HBM).
 Numerics vs dense verified at every shape; dq/dk/dv bit-match the split
 kernels.  Component budget + remaining ceiling: BASELINE.md round-5.
 
