@@ -48,9 +48,12 @@ def init_sparse_opt_state(trainer, extra_names: Tuple[str, ...] = ()):
     tables_flat, rest_flat = su.split_fused_tables(trainer.state.params, extra_names)
     if not tables_flat:
         raise ValueError(
-            "sparse_embedding requires fused embedding tables; the default 'auto' layout only "
-            "fuses tables with >=262144 rows — call ops.embedding.set_fused_default(True) before "
-            "building the model to fuse everything"
+            "sparse_embedding found no sparse-capable tables in this model "
+            f"(looked for fused 'fused_d*_table' params and named tables {list(extra_names)}). "
+            "For EmbeddingCollection models the default 'auto' layout only fuses tables with "
+            ">=262144 rows — call ops.embedding.set_fused_default(True) before building the model "
+            "to fuse everything; models without an addressable vocab table (e.g. HLLM's frozen "
+            "item embeddings) cannot take sparse updates."
         )
     opt_state = (trainer.tx.init(rest_flat), su.init_accumulators(tables_flat))
     trainer.state = trainer.state.replace(opt_state=opt_state)
