@@ -367,3 +367,45 @@ def test_rqvae_trainer_sharded_matches_unsharded():
         if degenerate(p1):
             continue
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4, err_msg=str(p1))
+
+
+# ---------------------------------------------------------------------------
+# round 5: sparse row-wise updates composed with a row-sharded table
+# ---------------------------------------------------------------------------
+
+def train_losses_sparse(mesh, n_steps=4):
+    """CTRTrainer with sparse SGD updates on the FUSED table (force-fused so
+    the tiny test vocab gets the production layout), optionally on a mesh."""
+    from torch_rechub_tpu.ops.embedding import set_fused_default
+
+    old = set_fused_default(True)
+    try:
+        x, y = data()
+        model = build_model()
+        trainer = CTRTrainer(model, n_epoch=1, model_path="/tmp/rechub_shard_sparse", seed=7, mesh=mesh, sparse_embedding="sgd")
+        loader = ArrayLoader(x, y, batch_size=64, shuffle=False)
+        trainer._ensure_ready(loader)
+        losses = []
+        for i, (xb, yb) in enumerate(loader):
+            if i >= n_steps:
+                break
+            xb = trainer.place_batch({k: jnp.asarray(v) for k, v in xb.items()})
+            rng = jax.random.PRNGKey(0)
+            trainer.state, loss = trainer._train_step(trainer.state, xb, jnp.asarray(yb), jnp.ones(64, jnp.float32), jnp.asarray(1e-3), rng)
+            losses.append(float(loss))
+        return losses, jax.device_get(trainer.state.params)
+    finally:
+        set_fused_default(old)
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
+def test_sparse_updates_compose_with_rowsharded_table(mesh_shape):
+    """The production combination: row-wise scatter updates INTO a table
+    row-sharded over `model` + DP batch over `data` — sharded == unsharded
+    losses and parameters (XLA lowers the scatter-add on the sharded operand)."""
+    base_losses, base_params = train_losses_sparse(mesh=None)
+    mesh = create_mesh(data=mesh_shape[0], model=mesh_shape[1])
+    sh_losses, sh_params = train_losses_sparse(mesh=mesh)
+    np.testing.assert_allclose(base_losses, sh_losses, rtol=2e-4, atol=1e-5)
+    for (p1, a), (_p2, b) in zip(jax.tree_util.tree_flatten_with_path(base_params)[0], jax.tree_util.tree_flatten_with_path(sh_params)[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2.5e-3, err_msg=str(p1))
