@@ -523,9 +523,11 @@ def _bwd_fused_kernel(pw_ref, tw_ref, thr_ref, ts_ref, q_ref, k_ref, v_ref, g_re
         q_pos = q0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
         valid = (k_pos <= q_pos) & (m_blk[None, :] > 0)
         s = jnp.where(valid, s, -1e4)
-        attn = _silu(s) * inv_n
+        # one sigmoid per tile shared by silu (fwd recompute) and silu'
+        sig = jax.nn.sigmoid(s)
+        attn = (s * sig) * inv_n
         dattn = jax.lax.dot_general(g_blk, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = jnp.where(valid, dattn * _dsilu(s) * inv_n, 0.0)
+        ds = jnp.where(valid, dattn * (sig * (1.0 + s * (1.0 - sig))) * inv_n, 0.0)
 
         dv_acc = dv_acc + jax.lax.dot_general(attn.astype(g_blk.dtype), g_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         dk_acc = dk_acc + jax.lax.dot_general(ds.astype(q_blk.dtype), q_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32) * alpha
