@@ -409,3 +409,38 @@ def test_sparse_updates_compose_with_rowsharded_table(mesh_shape):
     np.testing.assert_allclose(base_losses, sh_losses, rtol=2e-4, atol=1e-5)
     for (p1, a), (_p2, b) in zip(jax.tree_util.tree_flatten_with_path(base_params)[0], jax.tree_util.tree_flatten_with_path(sh_params)[0]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2.5e-3, err_msg=str(p1))
+
+
+def _seq_sampled_sparse_losses(mesh, vocab=65536, n=32, l=8):
+    """The round-5 production recipe under SPMD: sampled softmax + sparse
+    row-wise updates of BOTH vocab tables, token/output tables row-sharded
+    over `model` when a mesh is given."""
+    from torch_rechub_tpu.models.generative import HSTUModel
+    from torch_rechub_tpu.trainers.seq_trainer import SeqTrainer
+    from torch_rechub_tpu.utils.data import SeqLoader
+
+    rng = np.random.default_rng(3)
+    tokens = rng.integers(1, vocab, (n, l)).astype(np.int32)
+    positions = np.broadcast_to(np.arange(l, dtype=np.int32), (n, l)).copy()
+    tds = np.sort(rng.integers(0, 10**5, (n, l)), axis=1).astype(np.int32)
+    targets = rng.integers(1, vocab, n).astype(np.int32)
+
+    model = HSTUModel(vocab_size=vocab, d_model=16, n_heads=2, n_layers=1, dqk=8, dv=8, max_seq_len=l, dropout=0.0, tie_embeddings=False)
+    trainer = SeqTrainer(model, n_epoch=1, model_path="/tmp/rechub_shard_seq_sp", mesh=mesh, seed=5, loss_type="sampled_softmax", loss_params={"num_negatives": 64}, sparse_embedding="sgd", steps_per_call=1)
+    loader = SeqLoader(tokens, positions, targets, tds, batch_size=8, shuffle=False)
+    loss = trainer.train_one_epoch(loader, log_interval=0)
+    if mesh is not None:
+        for name in ("token_embedding", "output_projection"):
+            assert not trainer.state.params[name].sharding.is_fully_replicated, f"{name} must row-shard"
+    return loss, jax.device_get(trainer.state.params)
+
+
+def test_seq_sampled_sparse_sharded_matches_unsharded():
+    """Sampled softmax + sparse in/out tables: scatter updates into
+    row-sharded tables + DP batch produce identical results to unsharded."""
+    base_loss, base_params = _seq_sampled_sparse_losses(mesh=None)
+    mesh = create_mesh(data=4, model=2)
+    sh_loss, sh_params = _seq_sampled_sparse_losses(mesh=mesh)
+    np.testing.assert_allclose(base_loss, sh_loss, rtol=3e-4)
+    for (p1, a), (_p2, b) in zip(jax.tree_util.tree_flatten_with_path(base_params)[0], jax.tree_util.tree_flatten_with_path(sh_params)[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-3, atol=3e-4, err_msg=str(p1))

@@ -152,9 +152,12 @@ def table_partition_spec(vocab_size: int, mesh: Optional[Mesh]) -> P:
 
 def _is_table_path(path_str: str) -> bool:
     """Embedding-table params by path contract: EmbeddingCollection names every
-    table ``*_table`` and model-local embeddings carry ``embedding`` in their
-    module path (e.g. HSTU's ``token_embedding``)."""
-    return "embedding" in path_str.lower() or path_str.lower().endswith("_table']")
+    table ``*_table``, model-local embeddings carry ``embedding`` in their
+    module path (e.g. HSTU's ``token_embedding``), and untied generative
+    output projections (``output_projection``) are vocab-row tables too —
+    the sampled-softmax sparse path updates them row-wise."""
+    p = path_str.lower()
+    return "embedding" in p or p.endswith("_table']") or "output_projection']" in p
 
 
 def param_shardings(params, mesh: Optional[Mesh], hbm_budget_bytes: int = DEFAULT_TABLE_HBM_BUDGET):
