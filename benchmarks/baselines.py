@@ -44,9 +44,15 @@ def record_baseline(path: str, name: str, result_metrics: Dict[str, float], defa
     tracked = list(entry.keys()) or list(result_metrics.keys())
     new_entry = {}
     for metric in tracked:
-        if metric not in result_metrics:
-            continue
         tol = float(entry.get(metric, {}).get("tolerance", default_tolerance))
+        if metric not in result_metrics:
+            # NEVER silently drop a tracked metric (that would shrink
+            # regression coverage without notice) — keep the old spec and warn
+            import warnings
+
+            warnings.warn(f"record_baseline({name!r}): tracked metric {metric!r} missing from this run's metrics {sorted(result_metrics)} — keeping the previous expected value")
+            new_entry[metric] = dict(entry[metric])
+            continue
         new_entry[metric] = {"expected": round(float(result_metrics[metric]), 4), "tolerance": tol}
     baselines[name] = new_entry
     header = (

@@ -206,3 +206,93 @@ def test_sampled_row_grads_match_dense_weight_grad():
     g_pos, g_neg = jax.grad(rows_loss, argnums=(0, 1))(w_pos, w_neg)
     scattered = jnp.zeros_like(weight).at[next_tokens.reshape(-1)].add(g_pos.reshape(-1, d)).at[negs].add(g_neg)
     np.testing.assert_allclose(np.asarray(scattered), np.asarray(dense_grad), rtol=1e-5, atol=1e-6)
+
+
+def test_sampled_ignore_index_nonzero():
+    """ignore_index != 0: ignored positions masked, negatives never sample it."""
+    from torch_rechub_tpu.ops.chunked_ce import sampled_candidates, sampled_next_token_loss
+
+    rng = np.random.default_rng(4)
+    b, l, d, v, ii = 4, 8, 8, 30, 5
+    hidden = jnp.asarray(rng.normal(size=(b, l, d)).astype(np.float32))
+    weight = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32))
+    toks = rng.integers(1, v, (b, l)).astype(np.int32)
+    toks[toks == ii] = ii + 1
+    toks[0, :] = ii  # fully ignored row
+    tgts = rng.integers(1, v, b).astype(np.int32)
+    key = jax.random.PRNGKey(0)
+
+    _, negs = sampled_candidates(jnp.asarray(toks), jnp.asarray(tgts), key, v, 512, ignore_index=ii)
+    assert not np.any(np.asarray(negs) == ii)
+
+    loss = sampled_next_token_loss(hidden, weight, jnp.asarray(toks), jnp.asarray(tgts), key, None, ignore_index=ii, num_negatives=64)
+    hidden2 = hidden.at[0].add(50.0)  # ignored row must not contribute
+    loss2 = sampled_next_token_loss(hidden2, weight, jnp.asarray(toks), jnp.asarray(tgts), key, None, ignore_index=ii, num_negatives=64)
+    np.testing.assert_allclose(float(loss), float(loss2), rtol=1e-6)
+
+
+def test_sampled_logq_correction_outside_temperature():
+    """With T != 1 the estimator still tracks the full CE (the round-5 review
+    found the correction was scaled by 1/T; this pins the fixed order)."""
+    from torch_rechub_tpu.ops.chunked_ce import sampled_next_token_loss
+    from torch_rechub_tpu.trainers.seq_trainer import next_token_loss
+
+    rng = np.random.default_rng(6)
+    b, l, d, v, T = 8, 16, 16, 64, 0.25
+    hidden = jnp.asarray(rng.normal(size=(b, l, d)).astype(np.float32)) * 0.3
+    weight = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32)) * 0.3
+    toks = rng.integers(1, v, (b, l)).astype(np.int32)
+    tgts = rng.integers(1, v, b).astype(np.int32)
+    logits = jnp.einsum("bld,vd->blv", hidden, weight)
+    full = float(next_token_loss(logits, jnp.asarray(toks), jnp.asarray(tgts), T, 0))
+    samples = [
+        float(sampled_next_token_loss(hidden, weight, jnp.asarray(toks), jnp.asarray(tgts), jax.random.PRNGKey(s), None, temperature=T, num_negatives=2048))
+        for s in range(4)
+    ]
+    assert abs(np.mean(samples) - full) / full < 0.15, (np.mean(samples), full)
+
+
+def test_seq_sparse_sampled_l2_exact_vs_dense_grad():
+    """score_norm='l2' + sampled softmax + sparse in/out tables: one SGD step
+    equals the dense gradients of the SAME sampled loss (normalization
+    Jacobian included — the round-5 review found raw rows bypassed it)."""
+    from torch_rechub_tpu.models.generative.hstu import HSTUModel
+    from torch_rechub_tpu.trainers import SeqTrainer
+    from torch_rechub_tpu.utils.data import SeqLoader
+    from torch_rechub_tpu.ops.chunked_ce import sampled_next_token_loss
+
+    rng = np.random.default_rng(3)
+    n, L, vocab, S = 16, 16, 50, 32
+    lengths = rng.integers(2, L + 1, n)
+    toks = np.zeros((n, L), dtype=np.int32)
+    for i, l in enumerate(lengths):
+        toks[i, :l] = rng.integers(1, vocab, l)
+    tds = rng.integers(0, 86400, (n, L)).astype(np.int32)
+    targets = rng.integers(1, vocab, n).astype(np.int32)
+    pos = np.tile(np.arange(L), (n, 1))
+    model = HSTUModel(vocab_size=vocab, d_model=32, n_heads=2, n_layers=1, dqk=8, dv=8, max_seq_len=L, dropout=0.0, num_time_buckets=8, tie_embeddings=False, score_norm="l2", temperature=0.5, use_output_bias=False)
+    lr = 0.05
+    tr = SeqTrainer(model, n_epoch=1, model_path="/tmp/seq_sparse_l2", loss_type="sampled_softmax", loss_params={"num_negatives": S}, sparse_embedding="sgd", optimizer_params={"lr": lr})
+    dl = SeqLoader(toks, pos, targets, tds, batch_size=n, shuffle=False)
+    tr._ensure_ready(dl)
+    params0 = jax.device_get(tr.state.params)
+    bs0 = jax.device_get(tr.state.batch_stats)
+
+    # replicate the step's sampling key: with steps_per_call=1 and one plain
+    # batch the trainer calls _train_step with next_dropout_rng() directly
+    step_rng = jax.random.split(tr._rng)[0]
+    samp_key = jax.random.fold_in(step_rng, 0x5A)
+
+    def dense_loss(params):
+        out = model.apply({"params": params, "batch_stats": bs0, **tr.const_vars}, jnp.asarray(toks), jnp.asarray(tds), training=True, return_hidden=True, rngs={"dropout": step_rng})
+        # out["weight"] is the l2-normalized full table -> dense grads include
+        # the normalization Jacobian
+        return sampled_next_token_loss(out["hidden"], out["weight"], jnp.asarray(toks), jnp.asarray(targets), samp_key, out["bias"], 0.5, 0, S)
+
+    dense_grads = jax.grad(dense_loss)(params0)
+
+    tr.train_one_epoch(dl)
+    new = jax.device_get(tr.state.params)
+    for name in ("token_embedding", "output_projection"):
+        expected = params0[name] - lr * np.asarray(dense_grads[name])
+        np.testing.assert_allclose(np.asarray(new[name]), expected, rtol=1e-4, atol=1e-6, err_msg=name)

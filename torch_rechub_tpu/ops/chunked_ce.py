@@ -136,7 +136,7 @@ def sampled_next_token_loss(hidden: jnp.ndarray, weight: jnp.ndarray, seq_tokens
             the estimator targets the full-softmax gradient in expectation.
     """
     v = weight.shape[0]
-    next_tokens, negs = sampled_candidates(seq_tokens, targets, rng, v, num_negatives)
+    next_tokens, negs = sampled_candidates(seq_tokens, targets, rng, v, num_negatives, ignore_index)
     w_pos = jnp.take(weight, next_tokens, axis=0)  # (B, L, D)
     w_neg = jnp.take(weight, negs, axis=0)  # (S, D)
     b_pos = bias[next_tokens] if bias is not None else None
@@ -144,16 +144,22 @@ def sampled_next_token_loss(hidden: jnp.ndarray, weight: jnp.ndarray, seq_tokens
     return sampled_loss_from_rows(hidden, w_pos, w_neg, b_pos, b_neg, next_tokens, negs, v, temperature, ignore_index, remove_accidental_hits, logq_correction)
 
 
-def sampled_candidates(seq_tokens, targets, rng, vocab_size: int, num_negatives: int):
+def sampled_candidates(seq_tokens, targets, rng, vocab_size: int, num_negatives: int, ignore_index: int = 0):
     """(next_tokens (B, L), negs (S,)) — the candidate ids of the sampled loss.
 
     Split out so a sparse-update trainer can gather the candidate rows
     OUTSIDE ``jax.grad`` and take explicit row gradients (the output table
     then never receives a dense cotangent; see SeqTrainer._build_sparse_steps).
+    PAD/ignored positions keep the ``ignore_index`` label (masked out of the
+    loss) and negatives are drawn uniformly from the vocab EXCLUDING
+    ``ignore_index`` — consistent with ``chunked_next_token_loss``.
     """
     next_tokens = jnp.concatenate([seq_tokens[:, 1:], targets[:, None]], axis=1).astype(jnp.int32)
-    next_tokens = jnp.where(seq_tokens == 0, 0, next_tokens)
-    negs = jax.random.randint(rng, (num_negatives,), 1, vocab_size)  # uniform over non-PAD vocab
+    next_tokens = jnp.where(seq_tokens == ignore_index, ignore_index, next_tokens)
+    # uniform over the v-1 non-ignored classes: draw from [0, v-1) and shift
+    # indices at/above ignore_index up by one
+    r = jax.random.randint(rng, (num_negatives,), 0, vocab_size - 1)
+    negs = r + (r >= ignore_index).astype(jnp.int32)
     return next_tokens, negs
 
 
@@ -165,13 +171,17 @@ def sampled_loss_from_rows(hidden, w_pos, w_neg, b_pos, b_neg, next_tokens, negs
     if b_pos is not None:
         logits_pos = logits_pos + b_pos
         logits_neg = logits_neg + b_neg
+    # temperature first, THEN the logQ correction: the correction is a shift
+    # of the sampled partition estimate, so it must not be rescaled by 1/T
+    logits_pos = logits_pos / temperature
+    logits_neg = logits_neg / temperature
     if logq_correction:
         # E[count] = S/(V-1) per negative class; the target is always present
         logits_neg = logits_neg - jnp.log(num_negatives / (vocab_size - 1.0))
     if remove_accidental_hits:
         hit = negs[None, None, :] == next_tokens[..., None]
         logits_neg = jnp.where(hit, _NEG_INF, logits_neg)
-    logits = jnp.concatenate([logits_pos[..., None], logits_neg], axis=-1) / temperature
+    logits = jnp.concatenate([logits_pos[..., None], logits_neg], axis=-1)
     logp_target = jax.nn.log_softmax(logits, axis=-1)[..., 0]
     mask = (next_tokens != ignore_index).astype(jnp.float32)
     return -jnp.sum(logp_target * mask) / jnp.maximum(jnp.sum(mask), 1.0)

@@ -62,7 +62,7 @@ _FUSED_BWD = [True]  # False falls back to the split dq/dkv kernels (A/B bench)
 # Isolation-patch knobs for the component-cost breakdowns in BASELINE.md —
 # NEVER set outside perf experiments (they silently break numerics).
 # Members: "walk" (dts gradient walk), "bwd_select" (bias re-select in bwd),
-# "fwd_select" (bias select in fwd).
+# "fwd_select" (bias select in fwd), "dpos" (position-gradient diagonal sums).
 _DEBUG_DISABLE: set = set()
 
 
@@ -545,13 +545,14 @@ def _bwd_fused_kernel(pw_ref, tw_ref, thr_ref, ts_ref, q_ref, k_ref, v_ref, g_re
             last_thr = nbp1 - 1
 
             if _WALK_ACC16:
-                # amortized cross-lane reduction: per chunk, 16 per-bucket
-                # SUBLANE-only partial rows are stacked (16, block_k) and
-                # cross-lane-reduced ONCE, then placed into 16 lanes of the
-                # cumulative row with a single sublane/lane iota compare
-                srow_k = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
-                lane16 = jax.lax.broadcasted_iota(jnp.int32, (16, nb_lanes), 1)
-                sub16 = jax.lax.broadcasted_iota(jnp.int32, (16, nb_lanes), 0)
+                # amortized cross-lane reduction: per chunk, _TW_CHUNK
+                # per-bucket SUBLANE-only partial rows are stacked
+                # (_TW_CHUNK, block_k) and cross-lane-reduced ONCE, then
+                # placed into _TW_CHUNK lanes of the cumulative row with a
+                # single sublane/lane iota compare
+                srow_k = jax.lax.broadcasted_iota(jnp.int32, (_TW_CHUNK, 1), 0)
+                lane16 = jax.lax.broadcasted_iota(jnp.int32, (_TW_CHUNK, nb_lanes), 1)
+                sub16 = jax.lax.broadcasted_iota(jnp.int32, (_TW_CHUNK, nb_lanes), 0)
 
                 def dts_body(c, row):
                     u0 = lo + 1 + c * _TW_CHUNK

@@ -51,6 +51,23 @@ class MTLTrainState:
     initial_task_loss: Any
 
 
+def _aggregate_losses(loss_list, loss_weight, method, is_esmm):
+    """Task-loss aggregation shared by the dense and sparse steps.
+
+    ESMM sums the derived tasks (its task 0 is implicit through masking);
+    UWL is the homoscedastic-uncertainty weighting; GradNorm weights are
+    learned multipliers; default is the plain mean.
+    """
+    if is_esmm:
+        return jnp.sum(loss_list[1:])
+    if method == "uwl":
+        w = jnp.maximum(loss_weight, 0.0)
+        return jnp.sum(2.0 * loss_list * jnp.exp(-w) + w)
+    if method == "gradnorm":
+        return jnp.sum(loss_list * loss_weight)
+    return jnp.mean(loss_list)
+
+
 def _task_loss(pred, y, task_type, weight):
     """Per-task loss on model outputs (probabilities, reference semantics);
     computed in f32 regardless of the model's compute precision."""
@@ -174,14 +191,7 @@ class MTLTrainer(JaxTrainer):
             return loss_list, mutated.get("batch_stats", batch_stats)
 
         def aggregate(loss_list, loss_weight):
-            if is_esmm:
-                return jnp.sum(loss_list[1:])
-            if method == "uwl":
-                w = jnp.maximum(loss_weight, 0.0)
-                return jnp.sum(2.0 * loss_list * jnp.exp(-w) + w)
-            if method == "gradnorm":
-                return jnp.sum(loss_list * loss_weight)
-            return jnp.mean(loss_list)
+            return _aggregate_losses(loss_list, loss_weight, method, is_esmm)
 
         # last 2-D shared leaf for GradNorm's norm computation
         def last_shared_2d_path(params):
@@ -301,14 +311,6 @@ class MTLTrainer(JaxTrainer):
 
             return sp.pert_template_from(_shapes, state.params, state.batch_stats, sds)
 
-        def aggregate(loss_list, loss_weight):
-            if is_esmm:
-                return jnp.sum(loss_list[1:])
-            if method == "uwl":
-                w = jnp.maximum(loss_weight, 0.0)
-                return jnp.sum(2.0 * loss_list * jnp.exp(-w) + w)
-            return jnp.mean(loss_list)
-
         def step_body(state: MTLTrainState, x, ys, w, lr, rng):
             tables_flat, rest_flat = su.split_fused_tables(state.params)
             opt_state, accums = state.opt_state
@@ -319,7 +321,7 @@ class MTLTrainer(JaxTrainer):
                 with self.pscope():
                     out, mutated = model.apply({"params": params, "batch_stats": state.batch_stats, "perturbations": perts}, x, training=True, rngs={"dropout": rng}, mutable=["batch_stats", "embedding_ids"])
                 loss_list = jnp.stack([_task_loss(out[:, i], ys[:, i].astype(jnp.float32), task_types[i], w) for i in range(n_task)])
-                loss = aggregate(loss_list, trainable.get("loss_weight"))
+                loss = _aggregate_losses(loss_list, trainable.get("loss_weight"), method, is_esmm)
                 if reg:
                     loss = loss + reg(trainable["model"])
                 return loss, (loss_list, mutated.get("batch_stats", state.batch_stats), mutated.get("embedding_ids", {}))
@@ -331,17 +333,7 @@ class MTLTrainer(JaxTrainer):
             updates, opt_state = tx.update(g_tr, opt_state, trainable)
             new_trainable = apply_updates(trainable, updates, lr)
             rest_flat = traverse_util.flatten_dict(new_trainable["model"])
-            by_table = {}
-            for tkey, fids, fgrads in su.pair_sparse_grads(g_pert, ids_tree):
-                by_table.setdefault(tkey, []).append((fids, fgrads))
-            accums = dict(accums)
-            for tkey, parts in by_table.items():
-                fids = jnp.concatenate([p[0] for p in parts])
-                fgrads = jnp.concatenate([p[1] for p in parts])
-                if sparse_method == "sgd":
-                    tables_flat[tkey] = su.sparse_sgd_update(tables_flat[tkey], fids, fgrads, lr)
-                else:
-                    tables_flat[tkey], accums[tkey] = su.rowwise_adagrad_update(tables_flat[tkey], accums[tkey], fids, fgrads, lr)
+            tables_flat, accums = sp.apply_sparse_table_updates(tables_flat, accums, g_pert, ids_tree, sparse_method, lr)
             params = su.merge_params(tables_flat, rest_flat)
             initial = jax.lax.cond(state.step == 0, lambda: loss_list, lambda: state.initial_task_loss)
             return state.replace(params=params, loss_weight=new_trainable.get("loss_weight"), batch_stats=new_bs, opt_state=(opt_state, accums), step=state.step + 1, initial_task_loss=initial), loss_list

@@ -90,13 +90,18 @@ class SeqTrainer(JaxTrainer):
 
         sampled = self.loss_type == "sampled_softmax"
         num_negatives = int(self.loss_params.get("num_negatives", 1024)) if sampled else 0
+        # sampled-softmax knobs: loss-level temperature multiplies the model's
+        # own (like the NCE path); hit-masking/logQ default on
+        sampled_t = float(self.loss_params.get("temperature", 1.0)) * float(getattr(model, "temperature", 1.0))
+        rm_hits = bool(self.loss_params.get("remove_accidental_hits", True))
+        logq = bool(self.loss_params.get("logq_correction", True))
 
         def loss_fn(params, batch_stats, seq_tokens, time_diffs, targets, rng):
             variables = {"params": params, "batch_stats": batch_stats, **consts}
             if sampled:
                 with self.pscope():
                     out, mutated = model.apply(variables, seq_tokens, time_diffs, training=True, return_hidden=True, rngs={"dropout": rng}, mutable=["batch_stats"])
-                    loss = sampled_next_token_loss(out["hidden"], out["weight"], seq_tokens, targets, jax.random.fold_in(rng, 0x5A), out["bias"], chunked_t, ignore_index, num_negatives)
+                    loss = sampled_next_token_loss(out["hidden"], out["weight"], seq_tokens, targets, jax.random.fold_in(rng, 0x5A), out["bias"], sampled_t, ignore_index, num_negatives, rm_hits, logq)
                 return loss, mutated.get("batch_stats", batch_stats)
             if chunk is not None:
                 with self.pscope():
@@ -197,7 +202,15 @@ class SeqTrainer(JaxTrainer):
 
         sampled = self.loss_type == "sampled_softmax"
         num_negatives = int(self.loss_params.get("num_negatives", 1024)) if sampled else 0
+        sampled_t = float(self.loss_params.get("temperature", 1.0)) * float(getattr(model, "temperature", 1.0))
+        rm_hits = bool(self.loss_params.get("remove_accidental_hits", True))
+        logq = bool(self.loss_params.get("logq_correction", True))
         vocab = int(getattr(model, "vocab_size", 0))
+        # score_norm="l2" models normalize hidden AND weight rows; the raw
+        # gathered rows must get the same normalization (the perturbation
+        # gradient then includes the normalization Jacobian, matching dense)
+        l2_rows = getattr(model, "score_norm", "none") == "l2"
+        l2_eps = float(getattr(model, "l2_norm_eps", 1e-6))
 
         def sparse_loss_fn(rest_flat, perts, tables_flat, batch_stats, seq_tokens, time_diffs, targets, rng):
             params = su.merge_params(tables_flat, rest_flat)
@@ -212,13 +225,16 @@ class SeqTrainer(JaxTrainer):
                     from ..ops.chunked_ce import sampled_candidates, sampled_loss_from_rows
 
                     table = tables_flat[("output_projection",)]
-                    next_tokens, negs = sampled_candidates(seq_tokens, targets, jax.random.fold_in(rng, 0x5A), vocab, num_negatives)
+                    next_tokens, negs = sampled_candidates(seq_tokens, targets, jax.random.fold_in(rng, 0x5A), vocab, num_negatives, ignore_index)
                     w_pos = jnp.take(table, next_tokens, axis=0) + perts["demb_named_output_projection__pos"]
                     w_neg = jnp.take(table, negs, axis=0) + perts["demb_named_output_projection__neg"]
+                    if l2_rows:
+                        w_pos = w_pos / jnp.maximum(jnp.linalg.norm(w_pos, axis=-1, keepdims=True), l2_eps)
+                        w_neg = w_neg / jnp.maximum(jnp.linalg.norm(w_neg, axis=-1, keepdims=True), l2_eps)
                     bias = out["bias"]
                     b_pos = bias[next_tokens] if bias is not None else None
                     b_neg = bias[negs] if bias is not None else None
-                    loss = sampled_loss_from_rows(out["hidden"], w_pos, w_neg, b_pos, b_neg, next_tokens, negs, vocab, chunked_t, ignore_index)
+                    loss = sampled_loss_from_rows(out["hidden"], w_pos, w_neg, b_pos, b_neg, next_tokens, negs, vocab, sampled_t, ignore_index, rm_hits, logq)
                     ids_tree = {**mutated.get("embedding_ids", {}), "ids_named_output_projection__pos": next_tokens, "ids_named_output_projection__neg": negs}
                     return loss, (mutated.get("batch_stats", batch_stats), ids_tree)
                 elif chunk is not None:

@@ -59,6 +59,28 @@ def init_sparse_opt_state(trainer, extra_names: Tuple[str, ...] = ()):
     trainer.state = trainer.state.replace(opt_state=opt_state)
 
 
+def apply_sparse_table_updates(tables_flat, accums, g_pert, ids_tree, method, lr, spare_rows=None):
+    """Group perturbation grads by owning table and apply scatter updates.
+
+    Shared by :func:`make_sparse_step` and MTLTrainer's custom sparse step
+    (which carries extra state the generic TrainState can't).  Returns the
+    updated ``(tables_flat, accums)``.
+    """
+    spare_rows = spare_rows or {}
+    by_table = {}
+    for tkey, fids, fgrads in su.pair_sparse_grads(g_pert, ids_tree):
+        by_table.setdefault(tkey, []).append((fids, fgrads))
+    accums = dict(accums)
+    for tkey, parts in by_table.items():
+        fids = jnp.concatenate([p[0] for p in parts])
+        fgrads = jnp.concatenate([p[1] for p in parts])
+        if method == "sgd":
+            tables_flat[tkey] = su.sparse_sgd_update(tables_flat[tkey], fids, fgrads, lr)
+        else:
+            tables_flat[tkey], accums[tkey] = su.rowwise_adagrad_update(tables_flat[tkey], accums[tkey], fids, fgrads, lr, spare_row=spare_rows.get(tkey[-1], -1))
+    return tables_flat, accums
+
+
 def pert_template_from(apply_shapes_fn, *args):
     """``eval_shape`` the perturbations collection for an apply signature.
 
@@ -99,18 +121,7 @@ def make_sparse_step(trainer, loss_fn: Callable, pert_template, method: str, ext
         ((loss, (new_bs, ids_tree)), (g_rest, g_pert)) = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(rest_flat, perts, tables_flat, state.batch_stats, *batch)
         updates, opt_state = trainer.tx.update(g_rest, opt_state, rest_flat)
         rest_flat = apply_updates(rest_flat, updates, lr)
-        # group sparse grads by table (a table can feed several call sites)
-        by_table = {}
-        for tkey, fids, fgrads in su.pair_sparse_grads(g_pert, ids_tree):
-            by_table.setdefault(tkey, []).append((fids, fgrads))
-        accums = dict(accums)
-        for tkey, parts in by_table.items():
-            fids = jnp.concatenate([p[0] for p in parts])
-            fgrads = jnp.concatenate([p[1] for p in parts])
-            if method == "sgd":
-                tables_flat[tkey] = su.sparse_sgd_update(tables_flat[tkey], fids, fgrads, lr)
-            else:
-                tables_flat[tkey], accums[tkey] = su.rowwise_adagrad_update(tables_flat[tkey], accums[tkey], fids, fgrads, lr, spare_row=spare_rows.get(tkey[-1], -1))
+        tables_flat, accums = apply_sparse_table_updates(tables_flat, accums, g_pert, ids_tree, method, lr, spare_rows)
         params = su.merge_params(tables_flat, rest_flat)
         return TrainState(params=params, batch_stats=new_bs, opt_state=(opt_state, accums), step=state.step + 1), loss
 
