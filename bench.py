@@ -41,7 +41,7 @@ REFERENCE_EXAMPLES_PER_S = 14380.7  # torch-rechub DeepFM, torch CPU, small tabl
 REFERENCE_FULL_EXAMPLES_PER_S = 3099.4  # same, Criteo-full-shaped vocabs (idle-machine median, see BASELINE.md)
 
 B, N_SPARSE, N_DENSE, VOCAB, DIM = 4096, 26, 13, 10000, 16
-N_BATCHES = 288  # fresh examples per epoch = N_BATCHES * B ≈ 1.18M (longer epochs: sub-second epochs made the spread hostage to transient host jitter)
+N_BATCHES = 256  # fresh examples per epoch = N_BATCHES * B ≈ 1.05M — longer epochs (sub-second ones made the spread hostage to transient host jitter) AND an exact multiple of the 64-step scan group (a partial tail group measurably slows the epoch)
 EPOCHS = 7  # median over these
 V5E_BF16_PEAK = 197e12
 
