@@ -192,3 +192,40 @@ def test_bucket_thresholds_exact_at_edges():
                 dist = np.abs(dts[rows].astype(np.int64) - thr[cols])
                 assert np.all(dist < 64), (cfg, dist.max())
                 assert rows.size < dts.size, cfg  # isolated points, not regions
+
+
+@pytest.mark.parametrize("case", ["shuffled_ts", "scattered_mask", "empty_row"])
+def test_adversarial_inputs_match_dense(force_interpret, case):
+    """Correctness must not depend on timestamp sortedness or mask shape:
+    fully shuffled timestamps (worst-case bucket ranges), a scattered
+    (non-suffix) padding mask, and an entirely masked-out row."""
+    rng = np.random.default_rng(13)
+    q = jnp.asarray(rng.normal(size=(B, H, L, DQK)).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.normal(size=(B, H, L, DQK)).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.normal(size=(B, H, L, DV)).astype(np.float32)) * 0.3
+    pos_w = jnp.asarray(rng.normal(size=(2 * MAXL - 1, H)).astype(np.float32)) * 0.1
+    ts_w = jnp.asarray(rng.normal(size=(CFG.num_buckets + 1, H)).astype(np.float32)) * 0.1
+    ts = jnp.asarray(rng.integers(0, 3_000_000, (B, L)).astype(np.int32))  # NOT sorted
+    if case == "shuffled_ts":
+        mask = jnp.asarray(np.ones((B, L), bool))
+    elif case == "scattered_mask":
+        mask = jnp.asarray(rng.uniform(size=(B, L)) > 0.3)
+    else:
+        m = np.ones((B, L), bool)
+        m[0, :] = False  # entire row masked out
+        mask = jnp.asarray(m)
+
+    g_target = jnp.asarray(rng.normal(size=(B, H, L, DV)).astype(np.float32))
+
+    def loss_pallas(q, k, v, pos_w, ts_w):
+        out = hstu_attention_rab(q, k, v, pos_w, ts_w, ts, mask, 0.125, MAXL, CFG, 128, 128)
+        return jnp.sum(out * g_target)
+
+    def loss_dense(q, k, v, pos_w, ts_w):
+        out = _dense_forward(q, k, v, pos_w, ts_w, ts, mask, 0.125, MAXL, CFG, True)
+        return jnp.sum(out * g_target)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3, 4))(q, k, v, pos_w, ts_w)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2, 3, 4))(q, k, v, pos_w, ts_w)
+    for name, a, b in zip(["dq", "dk", "dv", "dpos_w", "dts_w"], gp, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5, err_msg=f"{case}:{name}")
